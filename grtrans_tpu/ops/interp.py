@@ -1,0 +1,81 @@
+"""Table search and multilinear interpolation.
+
+TPU-native equivalent of reference interpolate.f90 (get_weight/interp
+bi/tri/quad-linear, :15-232) and the F77 hunt/locate bisection searches:
+sorted-table lookup is jnp.searchsorted (vectorized), and the multilinear
+kernels are gathers + fused multiply-adds, batched over an arbitrary
+number of query points.
+"""
+
+import jax.numpy as jnp
+
+
+def get_weight(xarr, x):
+    """Fractional index of x in sorted 1-D table xarr.
+
+    Returns (ix, w) with xarr[ix] <= x <= xarr[ix+1] (clamped) and
+    w in [0,1] the linear weight of the ix+1 point.
+    Parity: reference interpolate.f90:67-106."""
+    n = xarr.shape[0]
+    ix = jnp.clip(jnp.searchsorted(xarr, x, side="right") - 1, 0, n - 2)
+    x0 = xarr[ix]
+    x1 = xarr[ix + 1]
+    w = (x - x0) / jnp.where(x1 == x0, 1.0, x1 - x0)
+    return ix, w
+
+
+def interp_1d(yarr, xarr, x):
+    """Linear interpolation of yarr(xarr) at points x (no extrapolation clamp)."""
+    ix, w = get_weight(xarr, x)
+    return yarr[ix] * (1.0 - w) + yarr[ix + 1] * w
+
+
+def bilinear(f, ix, iy, wx, wy):
+    """Bilinear interpolation on gridded f[..., nx, ny] at integer cells
+    (ix, iy) with fractional weights (wx, wy).
+    Parity: reference interpolate.f90:108-140 (interp2)."""
+    f00 = f[..., ix, iy]
+    f10 = f[..., ix + 1, iy]
+    f01 = f[..., ix, iy + 1]
+    f11 = f[..., ix + 1, iy + 1]
+    return (f00 * (1 - wx) * (1 - wy) + f10 * wx * (1 - wy)
+            + f01 * (1 - wx) * wy + f11 * wx * wy)
+
+
+def trilinear(f, ix, iy, iz, wx, wy, wz):
+    """Trilinear interpolation on f[..., nx, ny, nz].
+    Parity: reference interpolate.f90 (interp3)."""
+    c00 = f[..., ix, iy, iz] * (1 - wx) + f[..., ix + 1, iy, iz] * wx
+    c10 = f[..., ix, iy + 1, iz] * (1 - wx) + f[..., ix + 1, iy + 1, iz] * wx
+    c01 = f[..., ix, iy, iz + 1] * (1 - wx) + f[..., ix + 1, iy, iz + 1] * wx
+    c11 = f[..., ix, iy + 1, iz + 1] * (1 - wx) + f[..., ix + 1, iy + 1, iz + 1] * wx
+    c0 = c00 * (1 - wy) + c10 * wy
+    c1 = c01 * (1 - wy) + c11 * wy
+    return c0 * (1 - wz) + c1 * wz
+
+
+def quadlinear(f, idx, w):
+    """4-D multilinear interpolation on f[..., n0, n1, n2, n3]; idx/w are
+    length-4 sequences of integer cells and weights.
+    Parity: reference interpolate.f90 (interp4, used for time-interpolated
+    GRMHD snapshots)."""
+    i0, i1, i2, i3 = idx
+    w0, w1, w2, w3 = w
+    out = 0.0
+    for d0 in (0, 1):
+        for d1 in (0, 1):
+            for d2 in (0, 1):
+                for d3 in (0, 1):
+                    ww = ((w0 if d0 else 1 - w0) * (w1 if d1 else 1 - w1)
+                          * (w2 if d2 else 1 - w2) * (w3 if d3 else 1 - w3))
+                    out = out + f[..., i0 + d0, i1 + d1, i2 + d2, i3 + d3] * ww
+    return out
+
+
+def tsum(x, y):
+    """Cumulative trapezoidal integral of y(x), first element 0.
+    Parity: reference math.f90:30-44."""
+    dx = x[..., 1:] - x[..., :-1]
+    seg = 0.5 * (y[..., 1:] + y[..., :-1]) * dx
+    z = jnp.zeros_like(y[..., :1])
+    return jnp.concatenate([z, jnp.cumsum(seg, axis=-1)], axis=-1)
