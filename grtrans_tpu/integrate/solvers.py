@@ -1,0 +1,338 @@
+"""Polarized (Stokes IQUV) radiative transfer integrators.
+
+TPU-native re-design of reference radtrans_integrate.f90.  The transfer
+equation along a ray,  dI/dlam = j - K I,  is a linear affine ODE; every
+solver here expresses one grid cell as an affine map I -> O I + p and
+composes the per-cell maps with jax.lax.associative_scan — the sequential
+Fortran marching loops (:795-876) become log-depth parallel scans batched
+over all pixels, which is this workload's analogue of ring attention.
+
+Methods (iname parity with rad_trans.f90:29-37):
+  * 'formal' (iflag=2): per-cell ANALYTIC matrix exponential of the
+    constant-coefficient opacity matrix via the Landi Degl'Innocenti 1985
+    eigen-decomposition (calc_O, reference :615-683), in overflow-safe
+    form.
+  * 'delo'   (iflag=1): DELO linear short-characteristics (Rees+1989)
+    with the optically-thin Taylor branch (reference :746-842).
+  * 'lsoda'  (iflag=0): the reference uses adaptive LSODA; here mapped to
+    the formal solver with optional per-cell substepping (the reference's
+    own tests accept <=5% LSODA vs DELO/formal differences,
+    run_grtrans_test_problems_public.py:88-107).
+  * 'quadrature': unpolarized I = int j exp(-tau) (reference :878-882).
+
+Conventions: arrays are (npix, npts, ...) ordered along the TRACE
+(index 0 = observer); lam increases along the trace; the photon
+propagates from index npts-1 toward 0.  K columns are
+[aI aQ aU aV rhoQ rhoU rhoV] (emis.f90:20-30).  MAX_TAU truncation
+(reference :210-224) and invalid samples are handled by masking cells to
+the identity map.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+MAX_TAU = 10.0
+THIN = 1e-2
+
+
+def opacity_matrix(a, rho):
+    """(..., 4, 4) Mueller opacity matrix from a=[aI aQ aU aV],
+    rho=[rhoQ rhoU rhoV].  radtrans_integrate.f90:735-744."""
+    aI, aQ, aU, aV = (a[..., i] for i in range(4))
+    rQ, rU, rV = (rho[..., i] for i in range(3))
+    z = jnp.zeros_like(aI)
+    rows = [
+        jnp.stack([aI, aQ, aU, aV], axis=-1),
+        jnp.stack([aQ, aI, rV, -rU], axis=-1),
+        jnp.stack([aU, -rV, aI, rQ], axis=-1),
+        jnp.stack([aV, rU, -rQ, aI], axis=-1),
+    ]
+    _ = z
+    return jnp.stack(rows, axis=-2)
+
+
+def calc_O(a, rho, dx):
+    """Analytic matrix exponential exp(-K dx) of the constant opacity
+    matrix (Landi Degl'Innocenti 1985).  radtrans_integrate.f90:615-683,
+    rewritten in overflow-safe exponential form."""
+    aI, aq, au, av = (a[..., i] for i in range(4))
+    rhoq, rhou, rhov = (rho[..., i] for i in range(3))
+    a2 = aq ** 2 + au ** 2 + av ** 2
+    p2 = rhoq ** 2 + rhou ** 2 + rhov ** 2
+    ap = aq * rhoq + au * rhou + av * rhov
+    rt = jnp.sqrt((a2 - p2) ** 2 / 4.0 + ap ** 2)
+    lam1 = jnp.sqrt(jnp.maximum(rt + (a2 - p2) / 2.0, 0.0))
+    lam2 = jnp.sqrt(jnp.maximum(rt - (a2 - p2) / 2.0, 0.0))
+    theta = lam1 ** 2 + lam2 ** 2
+    degen = theta < 1e-300
+    theta_s = jnp.where(degen, 1.0, theta)
+    sig = jnp.sign(ap)
+    sig = jnp.where(sig == 0.0, 1.0, sig)
+
+    z = jnp.zeros_like(aI)
+
+    def mat(rows):
+        return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+
+    # reference M2/M3/M4 are written column-major (M2(i,j) = row i, col j);
+    # both are symmetric-with-antisymmetric parts as below (transcribed
+    # row-wise from :634-680)
+    M2 = mat([
+        [z, lam2 * aq - sig * lam1 * rhoq, lam2 * au - sig * lam1 * rhou,
+         lam2 * av - sig * lam1 * rhov],
+        [lam2 * aq - sig * lam1 * rhoq, z, sig * lam1 * av + lam2 * rhov,
+         -sig * lam1 * au - lam2 * rhou],
+        [lam2 * au - sig * lam1 * rhou, -sig * lam1 * av - lam2 * rhov, z,
+         sig * lam1 * aq + lam2 * rhoq],
+        [lam2 * av - sig * lam1 * rhov, sig * lam1 * au + lam2 * rhou,
+         -sig * lam1 * aq - lam2 * rhoq, z],
+    ]) / theta_s[..., None, None]
+    M3 = mat([
+        [z, lam1 * aq + sig * lam2 * rhoq, lam1 * au + sig * lam2 * rhou,
+         lam1 * av + sig * lam2 * rhov],
+        [lam1 * aq + sig * lam2 * rhoq, z, -sig * lam2 * av + lam1 * rhov,
+         sig * lam2 * au - lam1 * rhou],
+        [lam1 * au + sig * lam2 * rhou, sig * lam2 * av - lam1 * rhov, z,
+         -sig * lam2 * aq + lam1 * rhoq],
+        [lam1 * av + sig * lam2 * rhov, -sig * lam2 * au + lam1 * rhou,
+         sig * lam2 * aq - lam1 * rhoq, z],
+    ]) / theta_s[..., None, None]
+    hp = (a2 + p2) / 2.0
+    M4 = mat([
+        [hp, av * rhou - au * rhov, aq * rhov - av * rhoq,
+         au * rhoq - aq * rhou],
+        [au * rhov - av * rhou, aq * aq + rhoq * rhoq - hp,
+         aq * au + rhoq * rhou, av * aq + rhov * rhoq],
+        [av * rhoq - aq * rhov, aq * au + rhoq * rhou,
+         au * au + rhou * rhou - hp, au * av + rhou * rhov],
+        [aq * rhou - au * rhoq, av * aq + rhov * rhoq,
+         au * av + rhou * rhov, av * av + rhov * rhov - hp],
+    ]) * (2.0 / theta_s)[..., None, None]
+
+    # overflow-safe combinations of exp(-aI dx) with cosh/sinh(lam1 dx)
+    ecp = 0.5 * (jnp.exp((lam1 - aI) * dx) + jnp.exp(-(lam1 + aI) * dx))
+    ecm = 0.5 * (jnp.exp((lam1 - aI) * dx) - jnp.exp(-(lam1 + aI) * dx))
+    eno = jnp.exp(-aI * dx)
+    cs = jnp.cos(lam2 * dx) * eno
+    sn = jnp.sin(lam2 * dx) * eno
+    eye = jnp.eye(4)
+    O = (0.5 * (ecp + cs)[..., None, None] * eye
+         - sn[..., None, None] * M2
+         - ecm[..., None, None] * M3
+         + 0.5 * (ecp - cs)[..., None, None] * M4)
+    O = jnp.where(degen[..., None, None], eno[..., None, None] * eye, O)
+    return O
+
+
+def _compose(f, g):
+    """Affine map composition: (f after g) for f=(A2,b2), g=(A1,b1)."""
+    A2, b2 = f
+    A1, b1 = g
+    A = jnp.einsum("...ij,...jk->...ik", A2, A1)
+    b = jnp.einsum("...ij,...j->...i", A2, b1) + b2
+    return A, b
+
+
+def _mask_cells(O, p, mask):
+    """Replace masked-out cells with the identity affine map."""
+    eye = jnp.broadcast_to(jnp.eye(4), O.shape)
+    O = jnp.where(mask[..., None, None], O, eye)
+    p = jnp.where(mask[..., None], p, 0.0)
+    return O, p
+
+
+def _scan_to_observer(O, p, I0=None):
+    """Compose per-cell affine maps from the far end (index ncell-1)
+    toward the observer (index 0) with an associative scan.
+
+    Returns the Stokes profile (npix, npts, 4): entry i is the intensity
+    at sample i after propagating from the far end; entry 0 is the
+    observed intensity."""
+    # order cells first-applied-first: reverse along the point axis
+    # (shapes: O (npix, ncell, 4, 4), p (npix, ncell, 4); the scan axis
+    # must be given as the same positive index for both leaves)
+    Or = jnp.flip(O, axis=1)
+    pr = jnp.flip(p, axis=1)
+    A, b = jax.lax.associative_scan(_compose, (Or, pr), axis=1)
+    if I0 is None:
+        prof = b
+    else:
+        prof = jnp.einsum("...ij,...j->...i", A, I0) + b
+    # prof[m] = intensity after the first m+1 cells (far -> near);
+    # intensity at sample i (i=0 observer) = prof[ncell-1-i]; at the far
+    # sample (i=npts-1) it is I0 (zeros).
+    prof = jnp.flip(prof, axis=1)
+    far = jnp.zeros_like(prof[..., :1, :]) if I0 is None \
+        else jnp.broadcast_to(I0, prof[..., :1, :].shape)
+    return jnp.concatenate([prof, far], axis=-2)
+
+
+def _cell_tau_mask(lam, K, mask, max_tau):
+    """Cumulative optical depth from the observer + active-cell mask.
+    Reference truncates integration where tau > MAX_TAU (:210-224)."""
+    dlam = lam[..., 1:] - lam[..., :-1]
+    a_mid = 0.5 * (jnp.abs(K[..., 1:, 0]) + jnp.abs(K[..., :-1, 0]))
+    dtau = a_mid * dlam
+    tau = jnp.cumsum(dtau, axis=-1)  # tau at cell far edges, from observer
+    cell_ok = tau <= max_tau
+    if mask is not None:
+        cell_ok = cell_ok & mask[..., 1:] & mask[..., :-1]
+    return tau, cell_ok
+
+
+@partial(jax.jit, static_argnames=("substeps",))
+def formal_solve(lam, j, K, mask=None, max_tau=MAX_TAU, I0=None, substeps=1):
+    """Matricant/O-matrix solver (reference iflag=2, :844-876).
+
+    lam: (npix, npts) affine parameter increasing along trace;
+    j: (npix, npts, 4); K: (npix, npts, 7); mask: (npix, npts) validity.
+    Coefficients are taken piecewise-constant on each cell using the
+    observer-side sample (reference convention).  substeps>1 subdivides
+    each cell with linearly interpolated coefficients ('lsoda' mode).
+    Returns (npix, npts, 4) Stokes profile (index 0 = observer)."""
+    a = K[..., 0:4]
+    rho = K[..., 4:7]
+    dlam = lam[..., 1:] - lam[..., :-1]               # (npix, ncell)
+    tau, cell_ok = _cell_tau_mask(lam, K, mask, max_tau)
+
+    if substeps == 1:
+        # midpoint opacity + trapezoidal emission: 2nd order per cell
+        # (the reference uses the observer-side sample and is 1st order,
+        # radtrans_integrate.f90:869)
+        ac = 0.5 * (a[..., :-1, :] + a[..., 1:, :])
+        rc = 0.5 * (rho[..., :-1, :] + rho[..., 1:, :])
+        O = calc_O(ac, rc, dlam)
+        jn = j[..., :-1, :]
+        jf = j[..., 1:, :]
+        p = 0.5 * dlam[..., None] * (
+            jnp.einsum("...ij,...j->...i", O, jf) + jn)
+    else:
+        # subdivide each cell; coefficients linearly interpolated
+        fr = (jnp.arange(substeps) + 0.5) / substeps
+        asub = a[..., :-1, None, :] * (1 - fr)[:, None] \
+            + a[..., 1:, None, :] * fr[:, None]
+        rsub = rho[..., :-1, None, :] * (1 - fr)[:, None] \
+            + rho[..., 1:, None, :] * fr[:, None]
+        jsub = j[..., :-1, None, :] * (1 - fr)[:, None] \
+            + j[..., 1:, None, :] * fr[:, None]
+        dsub = dlam[..., None] / substeps                # (npix, ncell, 1)
+        Os = calc_O(asub, rsub, dsub)
+        # trapezoidal emission on substep edges
+        fre = jnp.arange(substeps + 1) / substeps
+        jedge = j[..., :-1, None, :] * (1 - fre)[:, None] \
+            + j[..., 1:, None, :] * fre[:, None]
+        ps = 0.5 * dsub[..., None] * (
+            jnp.einsum("...ij,...j->...i", Os, jedge[..., 1:, :])
+            + jedge[..., :-1, :])
+        # compose substeps within each cell (far substep applied first);
+        # shapes (npix, ncell, substeps, ...): scan over axis 2
+        Osr = jnp.flip(Os, axis=2)
+        psr = jnp.flip(ps, axis=2)
+        A, b = jax.lax.associative_scan(_compose, (Osr, psr), axis=2)
+        O = A[:, :, -1, :, :]
+        p = b[:, :, -1, :]
+    O, p = _mask_cells(O, p, cell_ok)
+    return _scan_to_observer(O, p, I0)
+
+
+def _imatrix4(m):
+    return jnp.linalg.inv(m)
+
+
+@jax.jit
+def delo_solve(lam, j, K, mask=None, max_tau=MAX_TAU, thin=THIN, I0=None):
+    """DELO linear short-characteristics solver (reference iflag=1,
+    :795-842) with the optically-thin Taylor branch (:746-793)."""
+    a = K[..., 0:4]
+    rho = K[..., 4:7]
+    aI = a[..., 0]
+    Kfull = opacity_matrix(a, rho)
+    dlam = lam[..., 1:] - lam[..., :-1]
+    tau, cell_ok = _cell_tau_mask(lam, K, mask, max_tau)
+    delta = 0.5 * (aI[..., 1:] + aI[..., :-1]) * dlam
+
+    eye = jnp.eye(4)
+    # "0" = observer-side sample of the cell, "1" = far-side sample
+    K0 = Kfull[..., :-1, :, :]
+    K1 = Kfull[..., 1:, :, :]
+    j0 = j[..., :-1, :]
+    j1 = j[..., 1:, :]
+    a0 = jnp.maximum(aI[..., :-1], 1e-300)
+    a1 = jnp.maximum(aI[..., 1:], 1e-300)
+
+    # thick branch (delta > thin)
+    E = jnp.exp(-delta)
+    F = 1.0 - E
+    G = (1.0 - (1.0 + delta) * E) / jnp.maximum(delta, 1e-300)
+    Sp0 = j0 / a0[..., None]
+    Sp1 = j1 / a1[..., None]
+    Kp0 = K0 / a0[..., None, None] - eye
+    Kp1 = K1 / a1[..., None, None] - eye
+    Mthick = eye + (F - G)[..., None, None] * Kp0
+    iM = _imatrix4(Mthick)
+    Pthick = jnp.einsum("...ij,...j->...i", iM,
+                        (F - G)[..., None] * Sp0 + G[..., None] * Sp1)
+    Qthick = jnp.einsum("...ij,...jk->...ik", iM,
+                        E[..., None, None] * eye
+                        - G[..., None, None] * Kp1)
+
+    # thin branch (Taylor in delta; reference :746-793)
+    dx = dlam
+    Mthin = (1.0 - delta / 2.0 + delta ** 2 / 6.0)[..., None, None] * eye \
+        + (0.5 * dx - dx ** 2 * a0 / 6.0)[..., None, None] * K0
+    iMt = _imatrix4(Mthin)
+    Pthin = jnp.einsum("...ij,...j->...i", iMt,
+                       (0.5 * dx - dx ** 2 * a0 / 6.0)[..., None] * j0
+                       + (0.5 * dx - dx ** 2 * a0 / 3.0)[..., None] * j1)
+    Qthin = jnp.einsum("...ij,...jk->...ik", iMt,
+                       (1.0 - 0.5 * dx * a0
+                        + dx ** 2 * a0 ** 2 / 6.0)[..., None, None] * eye
+                       - (0.5 * dx - dx ** 2 / 3.0)[..., None, None] * K1)
+
+    thick = (delta > thin)[..., None, None]
+    Q = jnp.where(thick, Qthick, Qthin)
+    P = jnp.where(thick[..., 0], Pthick, Pthin)
+    Q, P = _mask_cells(Q, P, cell_ok)
+    return _scan_to_observer(Q, P, I0)
+
+
+@jax.jit
+def quadrature_solve(lam, j, K, mask=None, max_tau=MAX_TAU):
+    """Unpolarized quadrature I = int j exp(-tau) dlam (reference
+    :878-882), cumulative from the far end toward the observer."""
+    aI = jnp.abs(K[..., 0])
+    dlam = lam[..., 1:] - lam[..., :-1]
+    dtau = 0.5 * (aI[..., 1:] + aI[..., :-1]) * dlam
+    tau = jnp.concatenate([jnp.zeros_like(lam[..., :1]),
+                           jnp.cumsum(dtau, axis=-1)], axis=-1)
+    integ = j[..., 0] * jnp.exp(-jnp.minimum(tau, max_tau * 10))
+    if mask is not None:
+        integ = jnp.where(mask, integ, 0.0)
+    ok = tau <= max_tau
+    integ = jnp.where(ok, integ, 0.0)
+    seg = 0.5 * (integ[..., 1:] + integ[..., :-1]) * dlam
+    # profile: intensity accumulated from the far end up to each sample
+    # (attenuation referenced to the observer; exact at the observer)
+    cum = jnp.concatenate([jnp.zeros_like(lam[..., :1]),
+                           jnp.cumsum(seg, axis=-1)], axis=-1)
+    prof_I = cum[..., -1:] - cum
+    z = jnp.zeros_like(prof_I)
+    return jnp.concatenate([prof_I[..., None], z[..., None], z[..., None],
+                            z[..., None]], axis=-1)
+
+
+def integrate(lam, j, K, method="formal", mask=None, max_tau=MAX_TAU,
+              thin=THIN, I0=None):
+    """Dispatch by iname (rad_trans.f90:29-37): 'lsoda'->substepped
+    formal, 'delo', 'formal', 'quadrature'."""
+    if method in ("formal", 2):
+        return formal_solve(lam, j, K, mask, max_tau, I0)
+    if method in ("delo", 1):
+        return delo_solve(lam, j, K, mask, max_tau, thin, I0)
+    if method in ("lsoda", 0):
+        return formal_solve(lam, j, K, mask, max_tau, I0, substeps=4)
+    if method == "quadrature":
+        return quadrature_solve(lam, j, K, mask, max_tau)
+    raise ValueError(f"unknown method {method}")

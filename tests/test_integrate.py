@@ -1,0 +1,159 @@
+"""Stokes integrator tests against closed-form solutions of the
+polarized transfer equation (reference unit_tests_integration.py tiers)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from grtrans_tpu.integrate import solvers
+
+
+def _grid(npts=512, L=1.0):
+    lam = jnp.linspace(0.0, L, npts)[None, :]
+    return lam
+
+
+def _run(method, lam, j, K):
+    prof = solvers.integrate(lam, j, K, method=method)
+    return np.asarray(prof[0, 0])  # observer Stokes
+
+
+class TestClosedForms:
+    def test_emission_only(self):
+        # dI/ds = j: I = j*L
+        lam = _grid()
+        j = jnp.zeros((1, 512, 4)).at[..., 0].set(2.0)
+        K = jnp.zeros((1, 512, 7))
+        for m in ["formal", "delo", "lsoda"]:
+            I = _run(m, lam, j, K)
+            assert abs(I[0] - 2.0) < 1e-10, m
+
+    def test_absorption_equilibrium(self):
+        # constant j, aI: I -> (j/a)(1 - e^-tau)
+        lam = _grid()
+        j = jnp.zeros((1, 512, 4)).at[..., 0].set(3.0)
+        K = jnp.zeros((1, 512, 7)).at[..., 0].set(2.0)
+        expect = 3.0 / 2.0 * (1.0 - np.exp(-2.0))
+        for m, tol in [("formal", 1e-5), ("delo", 1e-3), ("lsoda", 1e-6)]:
+            I = _run(m, lam, j, K)
+            assert abs(I[0] - expect) < tol * expect, m
+
+    def test_polarized_absorption(self):
+        # j=(jI,jQ), K=(aI,aQ): closed form (unit_tests_integration.py:6-13)
+        # I = (jI aI - jQ aQ)/(aI^2-aQ^2) (1-e..) combination; steady state:
+        # I_inf = (jI aI - jQ aQ)/(aI^2 - aQ^2), Q_inf = (jQ aI - jI aQ)/(...)
+        lam = _grid(L=50.0)
+        jI, jQ, aI, aQ = 2.0, 1.0, 1.0, 0.5
+        j = jnp.zeros((1, 512, 4)).at[..., 0].set(jI).at[..., 1].set(jQ)
+        K = jnp.zeros((1, 512, 7)).at[..., 0].set(aI).at[..., 1].set(aQ)
+        d = aI ** 2 - aQ ** 2
+        expect_I = (jI * aI - jQ * aQ) / d
+        expect_Q = (jQ * aI - jI * aQ) / d
+        # max_tau raised: the slow polarized eigenmode decays as
+        # exp(-(aI-aQ) tau), so tau=10 truncation would leave e^-5
+        I = np.asarray(solvers.formal_solve(lam, j, K, max_tau=60.0)[0, 0])
+        assert abs(I[0] - expect_I) < 3e-3 * expect_I
+        assert abs(I[1] - expect_Q) < 3e-3
+        I = np.asarray(solvers.formal_solve(lam, j, K, max_tau=60.0,
+                                            substeps=4)[0, 0])
+        assert abs(I[0] - expect_I) < 3e-4 * expect_I
+
+    def test_faraday_rotation(self):
+        # pure rhoV rotates Q into U: with constant jQ and rhoV, no abs:
+        # Q(L) = int_0^L jQ cos(rhoV (L-s)) ds = jQ sin(rhoV L)/rhoV
+        # U(L) = jQ (1-cos(rhoV L))/rhoV
+        lam = _grid(npts=2048, L=1.0)
+        jQ, rv = 1.5, 7.0
+        j = jnp.zeros((1, 2048, 4)).at[..., 1].set(jQ)
+        K = jnp.zeros((1, 2048, 7)).at[..., 6].set(rv)
+        expect_Q = jQ * np.sin(rv) / rv
+        expect_U = jQ * (1.0 - np.cos(rv)) / rv
+        for m, tol in [("formal", 1e-6), ("delo", 1e-3), ("lsoda", 1e-6)]:
+            I = _run(m, lam, j, K)
+            assert abs(I[1] - expect_Q) < tol, (m, I, expect_Q)
+            assert abs(I[2] - expect_U) < tol, (m, I, expect_U)
+
+    def test_faraday_conversion(self):
+        # rhoQ converts U into V: dU/ds = -rhoQ... with constant jU:
+        # rotation in the U-V plane by angle rhoQ*(L-s)
+        lam = _grid(npts=2048, L=1.0)
+        jU, rq = 1.0, 5.0
+        j = jnp.zeros((1, 2048, 4)).at[..., 2].set(jU)
+        K = jnp.zeros((1, 2048, 7)).at[..., 4].set(rq)
+        # dU/dlam = jU - rhoQ V ... dV/dlam = rhoQ U (opacity matrix signs)
+        expect_U = jU * np.sin(rq) / rq
+        expect_V = jU * (1.0 - np.cos(rq)) / rq
+        I = _run("formal", lam, j, K)
+        assert abs(I[2] - expect_U) < 1e-6
+        assert abs(I[3] - expect_V) < 1e-6
+
+    def test_quadrature_matches_formal_unpolarized(self):
+        rng = np.random.default_rng(3)
+        npts = 256
+        lam = jnp.linspace(0.0, 1.0, npts)[None, :]
+        jv = jnp.asarray(np.abs(rng.normal(1.0, 0.3, npts)))[None, :, None]
+        av = jnp.asarray(np.abs(rng.normal(0.5, 0.1, npts)))[None, :]
+        j = jnp.zeros((1, npts, 4)).at[..., 0].set(jv[..., 0])
+        K = jnp.zeros((1, npts, 7)).at[..., 0].set(av)
+        If = _run("formal", lam, j, K)[0]
+        Iq = _run("quadrature", lam, j, K)[0]
+        assert abs(If - Iq) < 5e-3 * If
+
+
+class TestCrossMethod:
+    def test_methods_agree_random_smooth(self):
+        # smooth random coefficient profiles: all methods within 1%
+        rng = np.random.default_rng(7)
+        npts = 1024
+        lam = jnp.linspace(0.0, 2.0, npts)[None, :]
+        s = np.linspace(0, 2, npts)
+
+        def smooth(amp):
+            c = rng.normal(size=4)
+            return amp * (1.2 + np.cos(c[0] + 2 * s) * 0.5
+                          + np.sin(c[1] + 3 * s) * 0.3)
+
+        j = np.zeros((1, npts, 4))
+        j[0, :, 0] = smooth(1.0)
+        j[0, :, 1] = smooth(0.3)
+        j[0, :, 3] = smooth(0.1)
+        K = np.zeros((1, npts, 7))
+        K[0, :, 0] = smooth(1.0)
+        K[0, :, 1] = smooth(0.2)
+        K[0, :, 3] = smooth(0.1)
+        K[0, :, 4] = smooth(0.5)
+        K[0, :, 6] = smooth(2.0)
+        j = jnp.asarray(j)
+        K = jnp.asarray(K)
+        If = _run("formal", lam, j, K)
+        Id = _run("delo", lam, j, K)
+        Il = _run("lsoda", lam, j, K)
+        np.testing.assert_allclose(Id, If, rtol=1e-2, atol=1e-4)
+        np.testing.assert_allclose(Il, If, rtol=1e-2, atol=1e-5)
+
+    def test_max_tau_truncation(self):
+        # very thick ray: contributions from tau >> 10 are cut, but the
+        # observed intensity is already saturated so cut changes nothing
+        npts = 512
+        lam = jnp.linspace(0.0, 100.0, npts)[None, :]
+        j = jnp.zeros((1, npts, 4)).at[..., 0].set(5.0)
+        K = jnp.zeros((1, npts, 7)).at[..., 0].set(1.0)
+        I = _run("formal", lam, j, K)
+        assert abs(I[0] - 5.0) < 5e-3 * 5.0
+        I = _run("lsoda", lam, j, K)
+        assert abs(I[0] - 5.0) < 5e-4 * 5.0
+
+
+class TestMasking:
+    def test_invalid_far_samples_ignored(self):
+        npts = 128
+        lam = jnp.linspace(0.0, 1.0, npts)[None, :]
+        j = jnp.zeros((1, npts, 4)).at[..., 0].set(1.0)
+        # poison the far half with garbage but mask it out
+        j = j.at[0, 64:, 0].set(1e30)
+        K = jnp.zeros((1, npts, 7))
+        mask = jnp.arange(npts)[None, :] < 64
+        prof = solvers.formal_solve(lam, j, K, mask=mask)
+        I = float(prof[0, 0, 0])
+        expect = 1.0 * float(lam[0, 63])
+        assert abs(I - expect) < 1e-8
