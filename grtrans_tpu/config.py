@@ -1,0 +1,79 @@
+"""Run configuration with reference-parity parameter names.
+
+Mirrors the reference's six namelists (read_inputs.f90:8-20) and the
+grtrans_inputs defaults (grtrans_batch.py:23-151) so reference run
+scripts translate 1:1.  Model-specific parameters (the reference's
+h*/t*/m*/p*/s*/n* prefixed namelist groups) are passed via `fargs`.
+"""
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Any
+
+import numpy as np
+
+
+@dataclass
+class GrtransConfig:
+    # geodata (read_inputs.f90 geodata namelist)
+    standard: int = 1
+    mumin: float = 0.1
+    mumax: float = 1.0
+    nmu: int = 1
+    phi0: float = -0.5          # units of pi (geodesics.f90:218)
+    spin: float = 0.998
+    uout: float = 1e-4
+    uin: float = 1.0
+    rcut: float = 1.0
+    nrotype: int = 2
+    gridvals: tuple = (-15.0, 15.0, -15.0, 15.0)  # a1,a2,b1,b2
+    nn: tuple = (100, 100, 400)                    # nro,nphi,nup
+
+    # fluiddata
+    fname: str = "THINDISK"
+    dt: float = 10.0
+    nt: int = 1
+    nload: int = 1
+    nmdot: int = 1
+    mdotmin: float = 1.57e15
+    mdotmax: float = 1.57e15
+    sigcut: float = 1e10
+    fargs: Dict[str, Any] = field(default_factory=dict)
+
+    # emisdata
+    ename: str = "POLSYNCHTH"
+    mbh: float = 10.0
+    nfreq: int = 1
+    fmin: float = 1.e11
+    fmax: float = 1.e11
+    muval: float = 0.25
+    gmin: float = 100.0
+    gmax: float = 1e5
+    p1: float = 3.5
+    p2: float = 3.5
+    jetalpha: float = 0.02
+    stype: str = "const"
+
+    # general
+    use_geokerr: bool = True
+    nvals: int = 4
+    iname: str = "lsoda"
+    cflag: int = 1
+    extra: int = 0
+    debug: int = 0
+
+    def freqs(self):
+        if self.nfreq == 1:
+            return np.array([self.fmin])
+        return np.logspace(np.log10(self.fmin), np.log10(self.fmax),
+                           self.nfreq)
+
+    def mdots(self):
+        if self.nmdot == 1:
+            return np.array([self.mdotmin])
+        return np.logspace(np.log10(self.mdotmin), np.log10(self.mdotmax),
+                           self.nmdot)
+
+    def mus(self):
+        if self.nmu == 1:
+            return np.array([self.mumin])
+        return np.linspace(self.mumin, self.mumax, self.nmu)

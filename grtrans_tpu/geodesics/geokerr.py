@@ -53,6 +53,7 @@ class GeodesicBundle(NamedTuple):
 
 def _bc(c, ndim):
     """Broadcast a (npix,)-shaped constant against an (npix, ...) array."""
+    c = jnp.asarray(c)
     return c.reshape(c.shape + (1,) * (ndim - c.ndim))
 
 
@@ -254,12 +255,19 @@ def _setup(a, mu0, l, q2, sm, u0):
 
 
 def _eval_u(st, lam):
-    """u(lam) along the traced direction (du/dlam = +sqrt(U) initially)."""
+    """u(lam) along the traced direction (du/dlam = +sqrt(U) initially).
+
+    The radial motion is exactly symmetric about the turning point,
+    u(lam_turn + d) = u(lam_turn - d), so lam is reflected into the
+    first half where wp() is far from its period pole — this keeps
+    returning rays as accurate at the trace end as at the start."""
     c0, c1, c2, c3, c4 = st.cU
     nd = lam.ndim
+    lt = _bc(st.lam_rturn, nd)
+    lam_eff = jnp.where(jnp.isfinite(lt) & (lam > lt), 2.0 * lt - lam, lam)
     return wss.invert_quartic(_bc(c4, nd), _bc(c3, nd), _bc(c2, nd),
                               _bc(c1, nd), _bc(c0, nd), _bc(st.u0, nd),
-                              1.0, lam, g2=_bc(st.g2u, nd),
+                              1.0, lam_eff, g2=_bc(st.g2u, nd),
                               g3=_bc(st.g3u, nd))
 
 
@@ -275,34 +283,91 @@ def _eval_mu(st, lam):
                               g3=_bc(st.g3m, nd))
 
 
-def _phase_integrands(a, l, u, mu):
-    """d(t, phi, affine)/d lam_Mino as functions of (u, mu).
-
-    kerr.f90:286-287 give the affine-parameterization k^t, k^phi; in Mino
-    time the rho^2 factor cancels."""
+def _phase_integrands_radial(a, l, u):
+    """Radial parts of d(t, phi, affine)/d lam_Mino as functions of u."""
     r = 1.0 / u
     d = r * r - 2.0 * r + a * a
     P = r * r + a * a - a * l
-    dt = a * (l - a * (1.0 - mu * mu)) + (r * r + a * a) * P / d
+    dt_r = (r * r + a * a) * P / d
+    dph_r = a * P / d
+    daff_r = r * r
+    return dt_r, dph_r, daff_r
+
+
+def _phase_integrands_polar(a, l, mu):
+    """Polar parts of the phase integrands as functions of mu."""
+    dt_m = a * (l - a * (1.0 - mu * mu))
     one_m = jnp.maximum(1.0 - mu * mu, 1e-300)
-    dph = -a + l / one_m + a * P / d
-    daff = r * r + a * a * mu * mu
-    return dt, dph, daff
+    dph_m = -a + l / one_m
+    daff_m = a * a * mu * mu
+    return dt_m, dph_m, daff_m
 
 
-def _cumulative_phases(st, a, l, lam_grid):
-    """Cumulative (t, phi, affine) along the lam_grid via per-segment GL."""
+def _cumulative_phases(st, a, l, lam_grid, u_grid=None):
+    """Cumulative (t, phi, affine) along the lam_grid via per-segment GL.
+
+    The polar parts are integrated in Mino time (smooth everywhere).  The
+    radial parts behave like r^2 ~ 1/lam^2 near the observer — a fixed GL
+    rule in lam cannot resolve segments spanning decades in radius — so
+    away from the radial turning point they are integrated in r instead
+    (where the integrand is smooth and bounded); segments straddling the
+    turning point keep the lam-space quadrature (r(lam) is quadratically
+    flat there, so lam-GL is accurate exactly where r-GL is not)."""
     x, w = (jnp.asarray(v) for v in gl_nodes(NQ_SEG))
     a_ = lam_grid[..., :-1]
     b_ = lam_grid[..., 1:]
-    nodes = a_[..., None] + (b_ - a_)[..., None] * x   # (npix, nseg, nq)
+    dseg = b_ - a_
+    nodes = a_[..., None] + dseg[..., None] * x        # (npix, nseg, nq)
     un = _eval_u(st, nodes)
     mun = _eval_mu(st, nodes)
     nd = nodes.ndim
-    dt, dph, daff = _phase_integrands(a, _bc(l, nd), un, mun)
-    seg_t = jnp.sum(dt * w, axis=-1) * (b_ - a_)
-    seg_p = jnp.sum(dph * w, axis=-1) * (b_ - a_)
-    seg_a = jnp.sum(daff * w, axis=-1) * (b_ - a_)
+    l_ = _bc(l, nd)
+
+    # polar parts: always lam-space
+    dt_m, dph_m, daff_m = _phase_integrands_polar(a, l_, mun)
+    seg_t = jnp.sum(dt_m * w, axis=-1) * dseg
+    seg_p = jnp.sum(dph_m * w, axis=-1) * dseg
+    seg_a = jnp.sum(daff_m * w, axis=-1) * dseg
+
+    # radial parts, lam-space version
+    dt_r, dph_r, daff_r = _phase_integrands_radial(a, l_, un)
+    lam_t = jnp.sum(dt_r * w, axis=-1) * dseg
+    lam_p = jnp.sum(dph_r * w, axis=-1) * dseg
+    lam_a = jnp.sum(daff_r * w, axis=-1) * dseg
+
+    # radial parts, r-space version.  The integrand f(r) = T(r)/(r^2
+    # sqrt(U)) tends to a constant f_inf at large r with a 1/r tail, so
+    # write f = f_inf + h(r)/r: the f_inf part integrates exactly and
+    # h(r) is integrated in ln r (where its 1/r decay is resolved by a
+    # fixed GL rule even for segments spanning decades of radius).
+    if u_grid is None:
+        u_grid = _eval_u(st, lam_grid)
+    u_lo = jnp.minimum(u_grid[..., :-1], u_grid[..., 1:])
+    u_hi = jnp.maximum(u_grid[..., :-1], u_grid[..., 1:])
+    r_lo = 1.0 / jnp.maximum(u_hi, 1e-12)
+    r_hi = 1.0 / jnp.maximum(u_lo, 1e-12)
+    ln_lo = jnp.log(r_lo)
+    ln_hi = jnp.log(r_hi)
+    rn = jnp.exp(ln_lo[..., None] + (ln_hi - ln_lo)[..., None] * x)
+    urn = 1.0 / rn
+    Un = jnp.maximum(_u_eval(st.cU, urn), 1e-300)
+    fac = 1.0 / (rn * rn * jnp.sqrt(Un))
+    dt_rr, dph_rr, daff_rr = _phase_integrands_radial(a, l_, urn)
+    dlnr = ln_hi - ln_lo
+    dr = r_hi - r_lo
+    # h(r) * (dr = r dlnr): h = (f - f_inf) * r -> node weight fac*rn
+    r_t = dr + jnp.sum((dt_rr * fac - 1.0) * rn * w, axis=-1) * dlnr
+    r_p = jnp.sum(dph_rr * fac * rn * w, axis=-1) * dlnr
+    r_a = dr + jnp.sum((daff_rr * fac - 1.0) * rn * w, axis=-1) * dlnr
+
+    # segment selection: keep lam-space where the segment abuts the turn
+    lt = _bc(st.lam_rturn, a_.ndim)
+    pad = dseg
+    near_turn = (b_ > lt - pad) & (a_ < lt + pad)
+    seg_t = seg_t + jnp.where(near_turn, lam_t, r_t)
+    seg_p = seg_p + jnp.where(near_turn, lam_p, r_p)
+    seg_a = seg_a + jnp.where(near_turn, lam_a, r_a)
+
     z = jnp.zeros_like(lam_grid[..., :1])
     cum = lambda s: jnp.concatenate([z, jnp.cumsum(s, axis=-1)], axis=-1)
     return cum(seg_t), cum(seg_p), cum(seg_a)
@@ -347,7 +412,7 @@ def trace(a, mu0, alpha, beta, l, q2, sm, u0, npts, uout=None, phi0=0.0):
     mu = jnp.clip(mu, -1.0, 1.0)
     su, smu, tpr, tpm = _signs_and_counts(st, lam)
 
-    dt_c, dph_c, aff_c = _cumulative_phases(st, a, l, lam)
+    dt_c, dph_c, aff_c = _cumulative_phases(st, a, l, lam, u_grid=u)
 
     r = 1.0 / jnp.maximum(u, 1e-12)
     th = jnp.arccos(mu)

@@ -38,8 +38,8 @@ def _ode_trace_mino(x0, k0, a, minos):
         g = _gcon(x[1], x[2], a)
         dx = g @ p
         dp = np.zeros(4)
-        h = 1e-7
         for i in (1, 2):
+            h = 1e-7 * max(1.0, abs(x[i]))  # relative step: r spans 1e4
             xp = x.copy(); xp[i] += h
             xm = x.copy(); xm[i] -= h
             dg = (_gcon(xp[1], xp[2], a) - _gcon(xm[1], xm[2], a)) / (2 * h)
@@ -97,7 +97,10 @@ def test_null_and_conserved_along_trace():
     kk = np.asarray(fv.dot(g, b.k, b.k))
     kl = np.asarray(fv.lower(g, b.k))
     v = np.asarray(b.valid)
-    assert np.abs(kk[v]).max() < 1e-7
+    # normalize the null residual by k^t^2 (k components diverge ~1/Delta
+    # at the horizon-adjacent final sample)
+    kt2 = np.asarray(b.k[..., 0]) ** 2
+    assert (np.abs(kk[v]) / np.maximum(kt2[v], 1.0)).max() < 1e-7
     np.testing.assert_allclose(kl[..., 0][v], -1.0, atol=1e-7)
     lexp = np.broadcast_to(np.asarray(cam.l)[:, None], kl[..., 3].shape)
     np.testing.assert_allclose(kl[..., 3][v], lexp[v], atol=1e-7)
@@ -151,8 +154,9 @@ def test_polar_crossing_vs_dense_trace():
     for i in range(2):
         if not bool(bp.valid[i, -1]):
             continue
-        th = xt[i, :, 2]
-        j = np.argmin(np.abs(th - np.pi / 2))
+        # first equatorial crossing = first sign change of cos(theta)
+        c = np.cos(xt[i, :, 2])
+        j = np.where(np.diff(np.sign(c)))[0][0]
         assert abs(xt[i, j, 1] - xp[i, -1, 1]) < 0.05 * xp[i, -1, 1]
         dphi = (xt[i, j, 3] - xp[i, -1, 3] + np.pi) % (2 * np.pi) - np.pi
         assert abs(dphi) < 0.05
