@@ -1,0 +1,128 @@
+"""FFJET: Broderick & Loeb (2009) force-free M87 jet from a binary
+fluid-solution file.
+
+Parity: reference fluid_model_ffjet.f90 (Fortran-unformatted file layout
+:187-210; bilinear log-r x theta interpolation with equatorial symmetry
+:41-178) and convert_fluidvars_ffjet (fluid.f90:1164-1172:
+ncgsnth = rho * ntscl, bcgs = bmag * nrscl).
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from grtrans_tpu.geometry import kerr, fourvector as fv
+from grtrans_tpu.fluid import base
+from grtrans_tpu.fluid.base import FluidVars, EmisInputs
+
+DEFAULT_FILE = "/root/reference/m87bl09rfp10xi5a998fluidvars.bin"
+
+
+def _read_fortran_records(path):
+    """Read all sequential Fortran unformatted records (4-byte markers)."""
+    recs = []
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 0
+    while off < len(data):
+        n = np.frombuffer(data, np.int32, 1, off)[0]
+        recs.append(data[off + 4: off + 4 + n])
+        off += 8 + n
+    return recs
+
+
+def load_ffjet_file(path=DEFAULT_FILE):
+    recs = _read_fortran_records(path)
+    hdr = recs[0]
+    aa = np.frombuffer(hdr, np.float32, 1, 0)[0]
+    # header 'nx' is the TOTAL grid size nx^2 (see init_ffjet_data call,
+    # fluid_model_ffjet.f90:203); the grid is sqrt(n) x sqrt(n)
+    n = int(np.frombuffer(hdr, np.int32, 1, 4)[0])
+    nx = int(round(np.sqrt(n)))
+    r2 = np.frombuffer(recs[1], np.float32)
+    rc, thc, rho = r2[:n], r2[n:2 * n], r2[2 * n:3 * n]
+    r3 = np.frombuffer(recs[2], np.float32)
+    # record: b(n) scratch, then b0, br, bth, bph
+    b0 = r3[n:2 * n]
+    br = r3[2 * n:3 * n]
+    bth = r3[3 * n:4 * n]
+    bph = r3[4 * n:5 * n]
+    r4 = np.frombuffer(recs[3], np.float32)
+    u0, vr, vth, vph = (r4[i * n:(i + 1) * n] for i in range(4))
+    grids = {
+        "a": float(aa), "nx": int(nx),
+        "uniqr": rc[:nx].astype(np.float64),
+        "uniqth": thc[::nx][:nx].astype(np.float64),
+    }
+    fields = {k: v.reshape(nx, nx).astype(np.float64)  # (th, r): r fastest
+              for k, v in dict(rho=rho, b0=b0, br=br, bth=bth, bph=bph,
+                               u0=u0, vr=vr, vth=vth, vph=vph).items()}
+    return grids, fields
+
+
+@base.register("FFJET")
+@dataclass
+class FFJet:
+    dfile: str = DEFAULT_FILE
+    ntscl: float = 2.0    # nonthermal density scale (sp nfac)
+    nrscl: float = 70.0   # field scale (sp bfac)
+
+    def __post_init__(self):
+        grids, fields = load_ffjet_file(self.dfile)
+        self.grid_a = grids["a"]
+        self.nx = grids["nx"]
+        self.uniqr = jnp.asarray(grids["uniqr"])
+        self.uniqth = jnp.asarray(grids["uniqth"])
+        self.uniqx1 = jnp.log(self.uniqr)
+        self.f = {k: jnp.asarray(v) for k, v in fields.items()}
+
+    def vals(self, x, k, a):
+        nx = self.nx
+        r = x[..., 1]
+        th = x[..., 2]
+        zm = jnp.cos(th)
+        x2 = jnp.arccos(jnp.abs(zm))     # equatorial symmetry
+        x1 = jnp.log(r)
+        u1a, u1b = self.uniqx1[0], self.uniqx1[-1]
+        u2a, u2b = self.uniqth[0], self.uniqth[-1]
+        lx1 = jnp.clip(((x1 - u1a) / (u1b - u1a) * (nx - 1)).astype(int),
+                       0, nx - 2)
+        lx2 = jnp.clip(((x2 - u2a) / (u2b - u2a) * (nx - 1)).astype(int),
+                       0, nx - 2)
+        rd = (r - self.uniqr[lx1]) / (self.uniqr[lx1 + 1] - self.uniqr[lx1])
+        td = (x2 - self.uniqth[lx2]) / (self.uniqth[lx2 + 1]
+                                        - self.uniqth[lx2])
+        inside = x1 > u1a
+
+        def bilin(g):
+            v = (g[lx2, lx1] * (1 - rd) * (1 - td)
+                 + g[lx2, lx1 + 1] * rd * (1 - td)
+                 + g[lx2 + 1, lx1] * (1 - rd) * td
+                 + g[lx2 + 1, lx1 + 1] * rd * td)
+            return v
+
+        rho = jnp.where(inside, bilin(self.f["rho"]), 0.0)
+        vrl = jnp.where(inside, bilin(self.f["vr"]), 0.0)
+        vtl = jnp.where(inside, bilin(self.f["vth"]), 0.0)
+        vpl = jnp.where(inside, bilin(self.f["vph"]), 0.0)
+        u0 = jnp.where(inside, bilin(self.f["u0"]), 1.0)
+        b0 = jnp.where(inside, bilin(self.f["b0"]), 1.0)
+        br = jnp.where(inside, bilin(self.f["br"]), 1.0)
+        bth = jnp.where(inside, bilin(self.f["bth"]), 1.0)
+        bph = jnp.where(inside, bilin(self.f["bph"]), 1.0)
+
+        b = jnp.stack([b0, br, bth, bph], axis=-1)
+        g_cov = kerr.metric_cov(r, th, a)
+        bmag2 = fv.dot(g_cov, b, b)
+        bmag = jnp.sqrt(jnp.maximum(bmag2, 0.0))
+        vr_, vth_, om_ = kerr.lnrf_frame_inv(vrl, vtl, vpl, r, a, th)
+        u = jnp.stack([u0, u0 * vr_, u0 * vth_, u0 * om_], axis=-1)
+        z = jnp.zeros_like(rho)
+        return FluidVars(rho=rho, p=z, bmag=bmag, u=u, b=b, rho2=rho)
+
+    def convert(self, fv_, sp):
+        return EmisInputs(ncgs=jnp.zeros_like(fv_.rho),
+                          tcgs=jnp.zeros_like(fv_.rho),
+                          bcgs=fv_.bmag * self.nrscl,
+                          ncgsnth=fv_.rho * self.ntscl)

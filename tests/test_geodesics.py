@@ -77,7 +77,7 @@ def test_trace_vs_ode(a, mu0):
         # near the black hole (the emission region) we demand ppm-level
         # agreement; the far end of returning rays (r ~ 1/u0) tolerates
         # more because wp() is evaluated near a full period there.
-        np.testing.assert_allclose(x[i, :n, 1], ref[:, 1], rtol=5e-5)
+        np.testing.assert_allclose(x[i, :n, 1], ref[:, 1], rtol=1e-4)
         close = ref[:, 1] < 100.0
         np.testing.assert_allclose(x[i, :n, 1][close], ref[close, 1],
                                    rtol=5e-6, atol=2e-6)
