@@ -18,9 +18,22 @@ Design (vs the reference's Fortran/OpenMP):
     downstream stages may downcast explicitly.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: TPU compiles in this environment go
+# through a remote AOT helper and are expensive (minutes); cache them.
+_cache_dir = _os.environ.get("GRTRANS_TPU_CACHE",
+                             _os.path.expanduser("~/.cache/grtrans_tpu_xla"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
 
 __version__ = "0.1.0"
 

@@ -73,9 +73,30 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
     Returns ivals (nfreq, npix, nvals)."""
     r = geo.x[..., 1]
     th = geo.x[..., 2]
-    s2xi, c2xi, ang, g, cosne = tetrad.comoving_ortho(
-        r, th, a, alpha[:, None], beta[:, None], mu0, fv.u, fv.b, geo.k)
-    g = jnp.where(jnp.isfinite(g), g, 1.0)
+    # sanitize the fluid four-vectors BEFORE the tetrad projection: a NaN
+    # primal anywhere in the graph poisons parameter VJPs even when the
+    # corresponding output is masked (0 * NaN = NaN in the backward pass)
+    okf = (jnp.all(jnp.isfinite(fv.u), axis=-1)
+           & jnp.all(jnp.isfinite(fv.b), axis=-1))
+    u_safe = jnp.where(okf[..., None], fv.u,
+                       jnp.array([1.0, 0.0, 0.0, 0.0]))
+    b_safe = jnp.where(okf[..., None], fv.b,
+                       jnp.array([0.0, 0.0, 0.0, 1.0]))
+    s2xi, c2xi, ang, g, cosne, frame_ok = tetrad.comoving_ortho(
+        r, th, a, alpha[:, None], beta[:, None], mu0, u_safe, b_safe, geo.k)
+    # explicit finite-ness masking: fluid models legitimately produce NaN
+    # four-velocities where their flow is unphysical (e.g. static gas
+    # inside the ergosphere) and the reference relies on NaN propagation
+    # + hand checks (grtrans_driver.f90:160-170); NaN semantics of min/max
+    # differ across backends, so the mask must be explicit.
+    ok = (geo.valid & okf & frame_ok
+          & jnp.isfinite(g) & jnp.isfinite(s2xi) & jnp.isfinite(c2xi)
+          & jnp.isfinite(ang))
+    s2xi = jnp.where(ok, s2xi, 0.0)
+    c2xi = jnp.where(ok, c2xi, 1.0)
+    ang = jnp.where(ok, ang, jnp.pi / 2.0)
+    cosne = jnp.where(ok & jnp.isfinite(cosne), cosne, 0.5)
+    g = jnp.where(ok, g, 1.0)
     g = jnp.clip(g, 1e-8, 1e8)
     lbh = pc.lbh(mbh)
     thin_pol = (standard == 2) and ename.upper() == "BBPOL" and nvals == 4
@@ -93,7 +114,7 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
     for fghz in freqs:
         nu = fghz / g
         e = calc_emissivity(ename, nu, ei, ang, cosne, sp)
-        e = jnp.where(geo.valid[..., None], e, 0.0)
+        e = jnp.where(ok[..., None], e, 0.0)
         e = jnp.where(jnp.isfinite(e), e, 0.0)
         j, K = framework.split_e(e)
         if standard == 2 or geo.x.shape[-2] == 1:
@@ -105,7 +126,7 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
                 j = j.at[..., 2].set(j1 * s2psi * chd)
                 j = j.at[..., 3].set(0.0)
             j = framework.invariant_intensity(j, g, 3)
-            j = jnp.where(geo.valid[..., None], j, 0.0)
+            j = jnp.where(ok[..., None], j, 0.0)
             j = jnp.where(jnp.isfinite(j), j, 0.0)
             Iobs = j[..., -1, :]
         else:
@@ -116,7 +137,7 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
             j = j * lbh
             K = K * lbh
             prof = solvers.integrate(geo.lam, j, K, method=iname,
-                                     mask=geo.valid)
+                                     mask=ok)
             Iobs = prof[..., 0, :]
         out.append(Iobs[..., :nvals])
     return jnp.stack(out, axis=0)

@@ -97,7 +97,10 @@ def polsynchth(nu, n, b, T, theta):
     omega0 = pc.e * b / (pc.m * pc.c)
     xarg = thetae * jnp.sqrt(jnp.sqrt(2.0) * sth
                              * (1e3 * omega0 / (2.0 * jnp.pi * nu)))
-    it = 1.0 / thetae
+    # clamp 1/thetae: for cold points K_n underflows and the ratios
+    # become 0/0 = NaN; the thetae<=1e-2 branch replaces them anyway,
+    # but NaN primals poison autodiff
+    it = jnp.minimum(1.0 / thetae, 150.0)
     krat = bessel.besselk1(it) / bessel.besselk2(it)
     k0rat = bessel.besselk0(it) / bessel.besselk2(it)
     gstep = 0.5 + 0.5 * jnp.tanh((thetae - 1.0) / 0.05)
@@ -107,13 +110,11 @@ def polsynchth(nu, n, b, T, theta):
         * jnp.where(rel, krat + 6.0 * thetae, 1.0 + 6.0 * thetae) * sth ** 2
     eps12 = wp2 * omega0 / (2.0 * jnp.pi * nu) ** 3 * jnp.cos(theta) \
         * jnp.where(rel,
-                    (bessel.besselk0(it) - gstep * _shgmfunc(xarg))
-                    / bessel.besselk2(it),
+                    k0rat - gstep * _shgmfunc(xarg) / bessel.besselk2(it),
                     1.0)
     rhov = 2.0 * jnp.pi * nu / pc.c * eps12
     rhoq = 2.0 * jnp.pi * nu / 2.0 / pc.c * eps11m22
     rhou = jnp.zeros_like(rhoq)
-    _ = k0rat
     return jnp.stack(jnp.broadcast_arrays(
         ji, jq, ju, jv, ai, aq, au, av, rhoq, rhou, rhov), axis=-1)
 
@@ -170,7 +171,7 @@ def sympolemisth(nu, n, b, T, theta):
     omega0 = pc.e * b / (pc.m * pc.c)
     xarg = thetae * jnp.sqrt(jnp.sqrt(2.0) * sth
                              * (1e3 * omega0 / (2.0 * jnp.pi * nu)))
-    it = 1.0 / thetae
+    it = jnp.minimum(1.0 / thetae, 150.0)
     gstep = 0.5 + 0.5 * jnp.tanh((thetae - 1.0) / 0.05)
     rel = thetae > 1e-2
     eps11m22 = _jffunc(xarg) * wp2 * omega0 ** 2 / (2.0 * jnp.pi * nu) ** 4 \

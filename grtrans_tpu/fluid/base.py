@@ -155,7 +155,8 @@ def toroidal_b(g_cov, u, bmag):
     aleph = -(gtp * u[..., 0] + gpp * u[..., 3]) \
         / (gtt * u[..., 0] + gtp * u[..., 3])
     bb = gtt * aleph * aleph + gpp + 2.0 * gtp * aleph
-    bphi = bmag / jnp.sqrt(jnp.maximum(bb, 1e-300))
+    pos = bb > 0.0
+    bphi = jnp.where(pos, bmag / jnp.sqrt(jnp.where(pos, bb, 1.0)), 0.0)
     z = jnp.zeros_like(bphi)
     return jnp.stack([aleph * bphi, z, z, bphi], axis=-1)
 

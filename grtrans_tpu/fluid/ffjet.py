@@ -114,8 +114,9 @@ class FFJet:
 
         b = jnp.stack([b0, br, bth, bph], axis=-1)
         g_cov = kerr.metric_cov(r, th, a)
+        from grtrans_tpu.geometry.kerr import safe_sqrt
         bmag2 = fv.dot(g_cov, b, b)
-        bmag = jnp.sqrt(jnp.maximum(bmag2, 0.0))
+        bmag = safe_sqrt(bmag2)
         vr_, vth_, om_ = kerr.lnrf_frame_inv(vrl, vtl, vpl, r, a, th)
         u = jnp.stack([u0, u0 * vr_, u0 * vth_, u0 * om_], axis=-1)
         z = jnp.zeros_like(rho)

@@ -14,6 +14,16 @@ import jax.numpy as jnp
 from grtrans_tpu.geometry import fourvector as fv
 
 
+
+def safe_sqrt(x):
+    """sqrt clamped at zero with a well-defined (zero) gradient there.
+
+    jnp.sqrt(jnp.maximum(x, 0)) produces NaN cotangents where x <= 0
+    (0 * inf); the double-where makes the branch inert to autodiff."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def horizon(a):
     """Outer horizon radius r_+ = 1 + sqrt(1-a^2)."""
     return 1.0 + jnp.sqrt(1.0 - a * a)
@@ -197,8 +207,8 @@ def calcg(u, mu, q2, l, a, tpm, tpr, su, sm, vrl, vtl, vpl):
     rr = (-a * a * q2 * u ** 4 + 2.0 * u ** 3 * (q2 + (a - l) ** 2)
           + u * u * (a * a - q2 - l * l) + 1.0)
     tt = (q2 + mu * mu * (a * a - l * l - q2) - a * a * mu ** 4) / (1.0 - mu * mu)
-    tt = jnp.where(tt >= 0.0, jnp.sqrt(jnp.maximum(tt, 0.0)), 0.0)
-    rr = jnp.where(rr >= 0.0, jnp.sqrt(jnp.maximum(rr, 0.0)) * r * r, 0.0)
+    tt = safe_sqrt(tt)
+    rr = safe_sqrt(rr) * r * r
     return enu / gam / (1.0 - l * omega - emu1 * enu * vrl / rho * sr * rr
                         - emu2 * enu * vtl / rho * st * tt)
 
@@ -215,12 +225,10 @@ def calc_nullp(q2, l, a, r, mu, su, smu):
     rho2 = r * r + a * a * mu * mu
     d = r * r - 2.0 * r + a * a
     Mf = q2 + (a * a - q2 - l * l) * mu * mu - a * a * mu ** 4
-    Mf = jnp.maximum(Mf, 0.0)
-    kmu = smu * jnp.sqrt(Mf / (1.0 - mu * mu)) / rho2
+    kmu = smu * safe_sqrt(Mf / (1.0 - mu * mu)) / rho2
     Uf = (1.0 + (a * a - q2 - l * l) * u * u
           + 2.0 * ((a - l) ** 2 + q2) * u ** 3 - a * a * q2 * u ** 4)
-    Uf = jnp.maximum(Uf, 0.0)
-    kr = su * r * r * jnp.sqrt(Uf) / rho2
+    kr = su * r * r * safe_sqrt(Uf) / rho2
     kt = (-a * (a * (1.0 - mu * mu) - l)
           + (r * r + a * a) / d * (r * r + a * a - a * l)) / rho2
     kph = (-a + l / (1.0 - mu * mu) + a / d * (r * r + a * a - a * l)) / rho2
@@ -228,11 +236,15 @@ def calc_nullp(q2, l, a, r, mu, su, smu):
 
 
 def calc_u0(g_cov, vr, vth, vph):
-    """u^t from BL coordinate 3-velocity.  kerr.f90:1120-1127."""
-    return jnp.sqrt(-1.0 / (g_cov[..., 0] + g_cov[..., 4] * vr ** 2
-                            + g_cov[..., 7] * vth ** 2
-                            + g_cov[..., 9] * vph ** 2
-                            + 2.0 * g_cov[..., 3] * vph))
+    """u^t from BL coordinate 3-velocity.  kerr.f90:1120-1127.
+
+    Returns 1.0 (finite) where the 3-velocity is spacelike/unphysical —
+    callers mask those points; a NaN here would poison autodiff."""
+    den = (g_cov[..., 0] + g_cov[..., 4] * vr ** 2
+           + g_cov[..., 7] * vth ** 2 + g_cov[..., 9] * vph ** 2
+           + 2.0 * g_cov[..., 3] * vph)
+    ok = den < 0.0
+    return jnp.where(ok, jnp.sqrt(-1.0 / jnp.where(ok, den, -1.0)), 1.0)
 
 
 def calc_plunging_vel(a, r):
@@ -245,7 +257,7 @@ def calc_plunging_vel(a, r):
     den = -gcon[..., 4] * (1.0 + gcon[..., 0] * ems * ems
                            - 2.0 * gcon[..., 3] * ems * lms
                            + gcon[..., 9] * lms * lms)
-    pr = jnp.where(den > 0.0, -jnp.sqrt(jnp.maximum(den, 0.0)), 0.0)
+    pr = -safe_sqrt(den)
     pph = -gcon[..., 3] * ems + gcon[..., 9] * lms
     z = jnp.zeros_like(pt)
     return jnp.stack([pt, pr, z, pph], axis=-1)
@@ -327,5 +339,5 @@ def calc_polar_psi(r, muf, q2, a, alpha, beta, rshift, mus, p):
     polarpsi = jnp.arctan2(den, num)
     s2psi = jnp.sin(2.0 * polarpsi)
     c2psi = jnp.cos(2.0 * polarpsi)
-    cosne = rshift * jnp.sqrt(jnp.maximum(q2, 0.0)) / r
+    cosne = rshift * safe_sqrt(q2) / r
     return c2psi, s2psi, cosne

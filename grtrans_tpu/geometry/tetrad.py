@@ -12,6 +12,7 @@ comoving_ortho(_core) (:550-730).
 import jax.numpy as jnp
 
 from grtrans_tpu.geometry import kerr
+from grtrans_tpu.geometry.kerr import safe_sqrt
 from grtrans_tpu.geometry import fourvector as fv
 
 
@@ -84,12 +85,18 @@ def comoving_ortho(r, th, a, alpha, beta, mus, u, b, k):
     z = jnp.zeros_like(al1)
     aa = jnp.stack([z, al1, al2, al3], axis=-1)
 
-    # Kulkarni+2011 comoving tetrad (kerr.f90:644-667)
+    # Kulkarni+2011 comoving tetrad (kerr.f90:644-667).  The norms can
+    # go negative for unphysical four-velocities (fluid models produce
+    # those e.g. inside the ergosphere); clamp the sqrts (NaN primals
+    # poison autodiff even under output masks) and report validity.
     d = r * r + a * a - 2.0 * r
     nr2 = -grr * (utc * ut + upc * up) * (1.0 + umc * um)
     nm2 = gmm * (1.0 + umc * um)
     np2 = -(utc * ut + upc * up) * d * jnp.sin(th) ** 2
-    snr, snm, snp = jnp.sqrt(nr2), jnp.sqrt(nm2), jnp.sqrt(np2)
+    frame_ok = (nr2 > 0.0) & (nm2 > 0.0) & (np2 > 0.0)
+    snr = jnp.where(frame_ok, safe_sqrt(nr2), 1.0)
+    snm = jnp.where(frame_ok, safe_sqrt(nm2), 1.0)
+    snp = jnp.where(frame_ok, safe_sqrt(np2), 1.0)
     ekt = -u
     ekr = jnp.stack([urc * ut / snr, -(utc * ut + upc * up) / snr,
                      z, urc * up / snr], axis=-1)
@@ -106,12 +113,14 @@ def comoving_ortho(r, th, a, alpha, beta, mus, u, b, k):
     ahat = proj(aa)
 
     knorm = khat[..., 1] ** 2 + khat[..., 2] ** 2 + khat[..., 3] ** 2
+    frame_ok = frame_ok & (knorm > 0.0) & (jnp.abs(khat[..., 0]) > 0.0)
+    kt_safe = jnp.where(jnp.abs(khat[..., 0]) > 0.0, khat[..., 0], 1.0)
     # spatial part of transported basis, projected perp to k via the
     # null condition (kerr.f90:674-676)
     aahat = jnp.stack(
-        [ahat[..., i] - khat[..., i] * ahat[..., 0] / khat[..., 0]
+        [ahat[..., i] - khat[..., i] * ahat[..., 0] / kt_safe
          for i in (1, 2, 3)], axis=-1)
-    sk = jnp.sqrt(knorm)
+    sk = jnp.where(knorm > 0.0, safe_sqrt(knorm), 1.0)
     bbhat = jnp.stack(
         [-(aahat[..., 1] * khat[..., 3] - aahat[..., 2] * khat[..., 2]) / sk,
          -(aahat[..., 2] * khat[..., 1] - aahat[..., 0] * khat[..., 3]) / sk,
@@ -129,10 +138,10 @@ def comoving_ortho(r, th, a, alpha, beta, mus, u, b, k):
     safenrm = jnp.where(nrm > 0.0, nrm, 1.0)
     s2xi = jnp.where(ok, -2.0 * aadotbp * bpdotbb / safenrm, 0.0)
     c2xi = jnp.where(ok, (bpdotbb ** 2 - aadotbp ** 2) / safenrm, 1.0)
-    angnorm = jnp.where(ok, bdotk / sk / jnp.sqrt(jnp.where(ok, bdotb, 1.0)),
+    angnorm = jnp.where(ok, bdotk / sk / safe_sqrt(jnp.where(ok, bdotb, 1.0)),
                         0.5)
     ang = jnp.arccos(jnp.clip(angnorm, -0.99, 0.99))
-    g = 1.0 / khat[..., 0]
-    cosne = g * jnp.sqrt(jnp.maximum(
-        beta * beta + mus * mus * (alpha * alpha - a * a), 0.0)) / r
-    return s2xi, c2xi, ang, g, cosne
+    g = 1.0 / kt_safe
+    cosne = g * safe_sqrt(
+        beta * beta + mus * mus * (alpha * alpha - a * a)) / r
+    return s2xi, c2xi, ang, g, cosne, frame_ok

@@ -57,17 +57,44 @@ def calc_O(a, rho, dx):
     """Analytic matrix exponential exp(-K dx) of the constant opacity
     matrix (Landi Degl'Innocenti 1985).  radtrans_integrate.f90:615-683,
     rewritten in overflow-safe exponential form."""
-    aI, aq, au, av = (a[..., i] for i in range(4))
-    rhoq, rhou, rhov = (rho[..., i] for i in range(3))
-    a2 = aq ** 2 + au ** 2 + av ** 2
-    p2 = rhoq ** 2 + rhou ** 2 + rhov ** 2
-    ap = aq * rhoq + au * rhou + av * rhov
-    rt = jnp.sqrt((a2 - p2) ** 2 / 4.0 + ap ** 2)
-    lam1 = jnp.sqrt(jnp.maximum(rt + (a2 - p2) / 2.0, 0.0))
-    lam2 = jnp.sqrt(jnp.maximum(rt - (a2 - p2) / 2.0, 0.0))
+    aI = a[..., 0]
+    # near-degenerate cells (lam*dx tiny, including the a2 ~ p2, ap ~ 0
+    # cancellation where theta << a2+p2): the eigen-decomposition's 1/theta
+    # terms are a removable singularity — numerically they overflow and
+    # poison the backward pass (0 * inf cotangents) — so those cells (i)
+    # use the first-order expansion exp(-K dx) ~ e^(-aI dx)(I - K_pol dx)
+    # (error O((lam dx)^2) < 1e-14) and (ii) feed SANITIZED dummy
+    # coefficients through the eigen path so no non-finite primal or
+    # cotangent ever exists.
+    def lam12(aq, au, av, rq, ru, rv):
+        a2 = aq ** 2 + au ** 2 + av ** 2
+        p2 = rq ** 2 + ru ** 2 + rv ** 2
+        ap = aq * rq + au * ru + av * rv
+        # regularized sqrts: the eigenvalues have genuine kinks at pure
+        # -rotation / pure-absorption cells (lam -> 0); the tiny relative
+        # epsilon (1e-24 ~ double roundoff squared) keeps the gradients
+        # finite with negligible (<=1e-12 relative) eigenvalue error
+        scale = 1e-24 * (a2 + p2) + 1e-300
+        rt = jnp.sqrt((a2 - p2) ** 2 / 4.0 + ap ** 2 + scale * scale)
+        lam1 = jnp.sqrt(jnp.maximum(rt + (a2 - p2) / 2.0, 0.0) + scale)
+        lam2 = jnp.sqrt(jnp.maximum(rt - (a2 - p2) / 2.0, 0.0) + scale)
+        return a2, p2, ap, lam1, lam2
+
+    _, _, _, l1_0, l2_0 = lam12(*(jax.lax.stop_gradient(a[..., i])
+                                  for i in range(1, 4)),
+                                *(jax.lax.stop_gradient(rho[..., i])
+                                  for i in range(3)))
+    degen = (l1_0 * jnp.abs(dx) < 1e-7) & (l2_0 * jnp.abs(dx) < 1e-7)
+
+    aq = jnp.where(degen, 1.0, a[..., 1])
+    au = jnp.where(degen, 0.0, a[..., 2])
+    av = jnp.where(degen, 0.0, a[..., 3])
+    rhoq = jnp.where(degen, 0.0, rho[..., 0])
+    rhou = jnp.where(degen, 0.0, rho[..., 1])
+    rhov = jnp.where(degen, 0.0, rho[..., 2])
+    a2, p2, ap, lam1, lam2 = lam12(aq, au, av, rhoq, rhou, rhov)
     theta = lam1 ** 2 + lam2 ** 2
-    degen = theta < 1e-300
-    theta_s = jnp.where(degen, 1.0, theta)
+    theta_s = jnp.where(theta > 1e-300, theta, 1.0)
     sig = jnp.sign(ap)
     sig = jnp.where(sig == 0.0, 1.0, sig)
 
@@ -111,10 +138,14 @@ def calc_O(a, rho, dx):
          au * av + rhou * rhov, av * av + rhov * rhov - hp],
     ]) * (2.0 / theta_s)[..., None, None]
 
-    # overflow-safe combinations of exp(-aI dx) with cosh/sinh(lam1 dx)
-    ecp = 0.5 * (jnp.exp((lam1 - aI) * dx) + jnp.exp(-(lam1 + aI) * dx))
-    ecm = 0.5 * (jnp.exp((lam1 - aI) * dx) - jnp.exp(-(lam1 + aI) * dx))
-    eno = jnp.exp(-aI * dx)
+    # overflow-safe combinations of exp(-aI dx) with cosh/sinh(lam1 dx);
+    # physically lam1 <= aI so the first argument is <= 0, but clip both
+    # (roundoff / sanitized-dummy cells) so exp never produces inf
+    arg_p = jnp.clip((lam1 - aI) * dx, -745.0, 60.0)
+    arg_m = jnp.clip(-(lam1 + aI) * dx, -745.0, 60.0)
+    ecp = 0.5 * (jnp.exp(arg_p) + jnp.exp(arg_m))
+    ecm = 0.5 * (jnp.exp(arg_p) - jnp.exp(arg_m))
+    eno = jnp.exp(jnp.clip(-aI * dx, -745.0, 60.0))
     cs = jnp.cos(lam2 * dx) * eno
     sn = jnp.sin(lam2 * dx) * eno
     eye = jnp.eye(4)
@@ -122,7 +153,12 @@ def calc_O(a, rho, dx):
          - sn[..., None, None] * M2
          - ecm[..., None, None] * M3
          + 0.5 * (ecp - cs)[..., None, None] * M4)
-    O = jnp.where(degen[..., None, None], eno[..., None, None] * eye, O)
+    z = jnp.zeros_like(aI)
+    Kpol = opacity_matrix(
+        jnp.stack([z, a[..., 1], a[..., 2], a[..., 3]], axis=-1), rho)
+    O_small = eno[..., None, None] \
+        * (eye - Kpol * jnp.broadcast_to(dx, aI.shape)[..., None, None])
+    O = jnp.where(degen[..., None, None], O_small, O)
     return O
 
 

@@ -177,8 +177,9 @@ class TestComovingOrtho:
 
     def test_angles_and_redshift(self):
         a, mu0, alpha, beta, rs, th, u, b, k, g = self._setup()
-        s2, c2, ang, rshift, cosne = tetrad.comoving_ortho(
+        s2, c2, ang, rshift, cosne, fok = tetrad.comoving_ortho(
             rs, th, a, alpha, beta, mu0, u, b, k)
+        assert np.asarray(fok).all()
         np.testing.assert_allclose(np.asarray(s2) ** 2 + np.asarray(c2) ** 2,
                                    1.0, rtol=1e-9)
         assert (np.asarray(rshift) > 0).all()
