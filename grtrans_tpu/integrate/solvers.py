@@ -212,7 +212,12 @@ def _cell_tau_mask(lam, K, mask, max_tau):
     a_mid = 0.5 * (jnp.abs(K[..., 1:, 0]) + jnp.abs(K[..., :-1, 0]))
     dtau = a_mid * dlam
     tau = jnp.cumsum(dtau, axis=-1)  # tau at cell far edges, from observer
-    cell_ok = tau <= max_tau
+    # truncate at the cell's NEAR edge: a cell straddling tau = max_tau
+    # contains the photosphere and must be kept — the analytic per-cell
+    # map saturates to the source function by itself
+    tau_near = jnp.concatenate([jnp.zeros_like(tau[..., :1]),
+                                tau[..., :-1]], axis=-1)
+    cell_ok = tau_near <= max_tau
     if mask is not None:
         cell_ok = cell_ok & mask[..., 1:] & mask[..., :-1]
     return tau, cell_ok
