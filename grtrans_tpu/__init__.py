@@ -22,7 +22,10 @@ import os as _os
 
 import jax as _jax
 
-_jax.config.update("jax_enable_x64", True)
+# float64 by default (the reference is real(8) throughout); set
+# GRTRANS_X64=0 to run the whole pipeline in float32 (TPU fast path)
+if _os.environ.get("GRTRANS_X64", "1") != "0":
+    _jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: TPU compiles in this environment go
 # through a remote AOT helper and are expensive (minutes); cache them.

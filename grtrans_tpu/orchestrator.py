@@ -45,6 +45,37 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False):
     if model is None:
         model = load_fluid_model(cfg.fname, **cfg.fargs)
 
+    freq_list = [float(f) for f in freqs]
+
+    # ONE jitted program per camera: trace + fluid + tetrad + coefficients
+    # + IQUV integration all fuse (critical on TPU, where each eager op
+    # would otherwise round-trip through the remote compiler)
+    import jax
+    from functools import partial
+
+    # all mu-cameras share the pixel grid, hence the same observer u0;
+    # decide the static sampling-start (uout) question on the host
+    _probe = cam_mod.make_camera(a, float(mus[0]), a1, a2, b1, b2, nro,
+                                 nphi, cfg.nrotype, cfg.rcut)
+    _use_uout = cfg.uout > _probe.u0 * 1.0001
+
+    @partial(jax.jit, static_argnames=("mdot_key",))
+    def _render_camera(alpha, beta, l, q2, sm, mu0_v, u0_v, mdot_key):
+        sp = _source_params(cfg, mdots[mdot_key])
+        if cfg.standard == 2:
+            geo = geokerr.trace_polar(a, mu0_v, alpha, beta, l, q2, sm,
+                                      u0_v, npts=1, phi0=cfg.phi0)
+        else:
+            uout = cfg.uout if _use_uout else None
+            geo = geokerr.trace(a, mu0_v, alpha, beta, l, q2, sm, u0_v,
+                                nup, uout=uout, phi0=cfg.phi0)
+        fv = model.vals(geo.x, geo.k, a)
+        ei = model.convert(fv, sp)
+        return driver.render_rays(geo, fv, ei, cfg.ename, freq_list,
+                                  mu0_v, alpha, beta, a, cfg.mbh, sp,
+                                  iname=cfg.iname, nvals=cfg.nvals,
+                                  standard=cfg.standard)
+
     ivals_all = []
     ab = None
     t0 = time.time()
@@ -54,24 +85,9 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False):
         if ab is None:
             ab = np.stack([np.asarray(cam.alpha), np.asarray(cam.beta)],
                           axis=0)
-        if cfg.standard == 2:
-            geo = geokerr.trace_polar(a, float(mu0), cam.alpha, cam.beta,
-                                      cam.l, cam.q2, cam.sm, cam.u0,
-                                      npts=1, phi0=cfg.phi0)
-        else:
-            uout = cfg.uout if cfg.uout > cam.u0 else None
-            geo = geokerr.trace(a, float(mu0), cam.alpha, cam.beta, cam.l,
-                                cam.q2, cam.sm, cam.u0, nup, uout=uout,
-                                phi0=cfg.phi0)
-        fv = model.vals(geo.x, geo.k, a)
-        for mdot in mdots:
-            sp = _source_params(cfg, float(mdot))
-            ei = model.convert(fv, sp)
-            iv = driver.render_rays(geo, fv, ei, cfg.ename,
-                                    [float(f) for f in freqs],
-                                    float(mu0), cam.alpha, cam.beta, a,
-                                    cfg.mbh, sp, iname=cfg.iname,
-                                    nvals=cfg.nvals, standard=cfg.standard)
+        for im in range(len(mdots)):
+            iv = _render_camera(cam.alpha, cam.beta, cam.l, cam.q2,
+                                cam.sm, float(mu0), cam.u0, mdot_key=im)
             ivals_all.append(np.asarray(iv))  # (nfreq, npix, nvals)
     if verbose:
         print(f"grtrans_run: {time.time() - t0:.2f} s")
