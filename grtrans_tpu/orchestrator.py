@@ -21,7 +21,7 @@ from grtrans_tpu.geodesics import camera as cam_mod
 from grtrans_tpu.geodesics import geokerr
 from grtrans_tpu import driver
 from grtrans_tpu.fluid.base import load_fluid_model, SourceParams, CONST, TAIL
-from grtrans_tpu.fluid import analytic, ffjet, sphacc  # noqa: F401  (registers)
+from grtrans_tpu.fluid import analytic, ffjet, sphacc, harm, hotspot  # noqa: F401
 
 
 def _source_params(cfg, mdot):
@@ -59,8 +59,10 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False):
                                  nphi, cfg.nrotype, cfg.rcut)
     _use_uout = cfg.uout > _probe.u0 * 1.0001
 
+    timedep = getattr(model, "timedep", False)
+
     @partial(jax.jit, static_argnames=("mdot_key",))
-    def _render_camera(alpha, beta, l, q2, sm, mu0_v, u0_v, mdot_key):
+    def _render_camera(alpha, beta, l, q2, sm, mu0_v, u0_v, tcur, mdot_key):
         sp = _source_params(cfg, mdots[mdot_key])
         if cfg.standard == 2:
             geo = geokerr.trace_polar(a, mu0_v, alpha, beta, l, q2, sm,
@@ -69,7 +71,10 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False):
             uout = cfg.uout if _use_uout else None
             geo = geokerr.trace(a, mu0_v, alpha, beta, l, q2, sm, u0_v,
                                 nup, uout=uout, phi0=cfg.phi0)
-        fv = model.vals(geo.x, geo.k, a)
+        if timedep:
+            fv = model.vals(geo.x, geo.k, a, time=tcur)
+        else:
+            fv = model.vals(geo.x, geo.k, a)
         ei = model.convert(fv, sp)
         return driver.render_rays(geo, fv, ei, cfg.ename, freq_list,
                                   mu0_v, alpha, beta, a, cfg.mbh, sp,
@@ -85,10 +90,15 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False):
         if ab is None:
             ab = np.stack([np.asarray(cam.alpha), np.asarray(cam.beta)],
                           axis=0)
-        for im in range(len(mdots)):
-            iv = _render_camera(cam.alpha, cam.beta, cam.l, cam.q2,
-                                cam.sm, float(mu0), cam.u0, mdot_key=im)
-            ivals_all.append(np.asarray(iv))  # (nfreq, npix, nvals)
+        # camera ordering: freq fastest, then mdot, then time, then mu
+        # (pgrtrans.f90:198-211 loop nesting)
+        for it in range(cfg.nt):
+            tcur = it * cfg.dt
+            for im in range(len(mdots)):
+                iv = _render_camera(cam.alpha, cam.beta, cam.l, cam.q2,
+                                    cam.sm, float(mu0), cam.u0, tcur,
+                                    mdot_key=im)
+                ivals_all.append(np.asarray(iv))  # (nfreq, npix, nvals)
     if verbose:
         print(f"grtrans_run: {time.time() - t0:.2f} s")
     ivals = np.concatenate(ivals_all, axis=0)  # (ncams, npix, nvals)

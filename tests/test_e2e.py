@@ -89,3 +89,32 @@ class TestPowerlawSynch:
         # cross-integrator consistency (reference accepts <=5%)
         assert abs(specs["delo"] - ref) < 0.05 * ref
         assert abs(specs["lsoda"] - ref) < 0.02 * ref
+
+
+class TestHotspot:
+    def test_orbiting_spot_lightcurve(self):
+        # time-dependent rendering: orbiting spot modulates the flux
+        # (reference HOTSPOT + advance_hotspot_timestep path)
+        cfg = GrtransConfig(fname="HOTSPOT", ename="POLSYNCHPL", nvals=4,
+                            spin=0.9, standard=1, nn=(24, 24, 64), mbh=4e6,
+                            mumin=0.5, mumax=0.5, nfreq=1, fmin=2.3e11,
+                            fmax=2.3e11, iname="formal", nt=6, dt=16.0,
+                            gridvals=(-12.0, 12.0, -12.0, 12.0),
+                            fargs=dict(rspot=1.5, r0spot=6.0, n0spot=4e7))
+        ivals, ab, freqs = grtrans_run(cfg)
+        assert np.isfinite(ivals).all()
+        lc = ivals[:, :, 0].sum(axis=1)
+        assert lc.max() > 0
+        # orbital modulation
+        assert lc.std() / lc.mean() > 0.1
+
+    def test_schnittman_spot(self):
+        cfg = GrtransConfig(fname="SCHNITTMAN", ename="POLSYNCHPL", nvals=4,
+                            spin=0.5, standard=1, nn=(16, 16, 48), mbh=4e6,
+                            mumin=0.5, mumax=0.5, nfreq=1, fmin=2.3e11,
+                            fmax=2.3e11, iname="formal", nt=3, dt=30.0,
+                            gridvals=(-12.0, 12.0, -12.0, 12.0),
+                            fargs=dict(rspot=1.5, r0spot=6.0, n0spot=4e7))
+        ivals, ab, freqs = grtrans_run(cfg)
+        assert np.isfinite(ivals).all()
+        assert ivals[..., 0].max() > 0
