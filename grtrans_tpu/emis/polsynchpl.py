@@ -65,17 +65,21 @@ def _build_tables():
             integrand = xf ** ((p + off) / 2.0) * kern
             G = revcum(integrand)           # int_x^inf on fine grid
             tab[j] = np.interp(np.log(xs), np.log(xf), np.log(G + 1e-300))
-        tables[name] = jnp.asarray(tab)
-    return (jnp.asarray(np.log(xs)), jnp.asarray(ps), tables)
+        tables[name] = tab
+    # NOTE: cache holds PURE NUMPY — this may be first called inside a
+    # jit trace, and caching traced jnp constants would leak tracers
+    return (np.log(xs), ps, tables)
 
 
 def _g(name, x, p):
-    logxs, ps, tables = _build_tables()
+    logxs_np, ps_np, tables = _build_tables()
+    logxs = jnp.asarray(logxs_np)
+    ps = jnp.asarray(ps_np)
     lx = jnp.log(jnp.clip(x, X_LO, X_HI))
     pp = jnp.clip(p, P_LO, P_HI)
     ix, wx = get_weight(logxs, lx)
     ip, wp_ = get_weight(ps, pp)
-    t = tables[name]
+    t = jnp.asarray(tables[name])
     v = (t[ip, ix] * (1 - wx) * (1 - wp_) + t[ip, ix + 1] * wx * (1 - wp_)
          + t[ip + 1, ix] * (1 - wx) * wp_ + t[ip + 1, ix + 1] * wx * wp_)
     return jnp.exp(v)
