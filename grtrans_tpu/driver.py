@@ -63,9 +63,59 @@ def calc_emissivity(ename, nu, ei: EmisInputs, ang, cosne, sp: SourceParams):
     raise ValueError(f"unknown emissivity {ename!r}")
 
 
+def _extra_channels(geo, fv, ei, j, K, prof, ok):
+    """The 19 extra diagnostic images (reference grtrans_driver.f90:230-292
+    + README:84-114): optical depths tau_I,Q,U,V and Faraday depths
+    rho_Q,rho_V at the photosphere, emissivity-weighted <r>, <theta>,
+    <phi>, <n>, <T_e>, <B>, <beta_plasma>, midplane-side fraction, and
+    linear-polarization-weighted <r>, <theta>, <tau_FR>, <tau_FC>,
+    <side>.  Arrays (npix, 19)."""
+    lam = geo.lam
+    dlam = lam[..., 1:] - lam[..., :-1]
+
+    def cum(q):
+        qm = 0.5 * (q[..., 1:] + q[..., :-1])
+        z = jnp.zeros_like(lam[..., :1])
+        return jnp.concatenate([z, jnp.cumsum(qm * dlam, axis=-1)], axis=-1)
+
+    # optical depths along the ray for [aI aQ aU aV rhoQ rhoV]
+    taus = [cum(jnp.abs(K[..., i])) for i in (0, 1, 2, 3, 4, 6)]
+    tau_i = taus[0]
+    # photosphere: sample closest to tau_I = 1 (or ray end if thin)
+    dist = jnp.abs(tau_i - 1.0)
+    taudex = jnp.argmin(dist, axis=-1)
+    thin = tau_i[..., -1] < 1.0
+    taudex = jnp.where(thin, lam.shape[-1] - 1, taudex)
+
+    def at_dex(q):
+        return jnp.take_along_axis(q, taudex[..., None], axis=-1)[..., 0]
+
+    out = [at_dex(t) for t in taus]
+    # emissivity-weighted averages
+    w = j[..., 0] * jnp.exp(-jnp.minimum(tau_i, 300.0))
+    w = jnp.where(ok, w, 0.0)
+    wsum = cum(w)
+    beta_pl = fv.p * 2.0 / jnp.maximum(fv.bmag, 1e-300) ** 2
+    quants = [geo.x[..., 1], geo.x[..., 2], geo.x[..., 3], ei.ncgs,
+              ei.tcgs, ei.bcgs, beta_pl,
+              jnp.sign(jnp.cos(geo.x[..., 2]))]
+    safe = jnp.maximum(at_dex(wsum), 1e-300)
+    for q in quants:
+        out.append(at_dex(cum(w * q)) / safe)
+    # linear-polarization-weighted quantities from the Stokes profile
+    lp = jnp.sqrt(prof[..., 0] ** 2 + prof[..., 1] ** 2)
+    dlp = jnp.abs(lp[..., :-1] - lp[..., 1:])   # per-cell LP growth
+    dsum = jnp.maximum(jnp.sum(dlp, axis=-1), 1e-300)
+    mid = lambda q: 0.5 * (q[..., 1:] + q[..., :-1])
+    for q in [geo.x[..., 1], geo.x[..., 2], taus[4], taus[5],
+              jnp.sign(jnp.cos(geo.x[..., 2]))]:
+        out.append(jnp.sum(dlp * mid(q), axis=-1) / dsum)
+    return jnp.stack(out, axis=-1)
+
+
 def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
                 sp: SourceParams, iname="lsoda", nvals=4,
-                standard=1):
+                standard=1, extra=0):
     """Render observed Stokes for one camera and a list of frequencies.
 
     geo: GeodesicBundle; fv: FluidVars; ei: EmisInputs (cgs);
@@ -139,5 +189,9 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
             prof = solvers.integrate(geo.lam, j, K, method=iname,
                                      mask=ok)
             Iobs = prof[..., 0, :]
-        out.append(Iobs[..., :nvals])
+        res = Iobs[..., :nvals]
+        if extra and not (standard == 2 or geo.x.shape[-2] == 1):
+            ex = _extra_channels(geo, fv, ei, j, K, prof, ok)
+            res = jnp.concatenate([res, ex], axis=-1)
+        out.append(res)
     return jnp.stack(out, axis=0)

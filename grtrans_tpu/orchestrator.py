@@ -79,7 +79,7 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False):
         return driver.render_rays(geo, fv, ei, cfg.ename, freq_list,
                                   mu0_v, alpha, beta, a, cfg.mbh, sp,
                                   iname=cfg.iname, nvals=cfg.nvals,
-                                  standard=cfg.standard)
+                                  standard=cfg.standard, extra=cfg.extra)
 
     ivals_all = []
     ab = None
