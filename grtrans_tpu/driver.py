@@ -60,6 +60,21 @@ def calc_emissivity(ename, nu, ei: EmisInputs, ang, cosne, sp: SourceParams):
         return brems.brememis_gray(nu, ei.ncgs, ei.tcgs)
     if ename == "RHO":
         return bb.rhoemis(ei.ncgs, jnp.ones_like(ei.ncgs))
+    if ename == "INTERP":
+        # log-log interpolation of a tabulated F_nu (interpemis,
+        # emis.f90:80-143; the PHATDISK path)
+        from grtrans_tpu.ops.interp import get_weight
+        lf = jnp.log(ei.freq_tab)
+        ix, w = get_weight(lf, jnp.log(nu))
+        f0 = jnp.take_along_axis(ei.fnu, ix[..., None], axis=-1)[..., 0]
+        f1 = jnp.take_along_axis(ei.fnu, (ix + 1)[..., None],
+                                 axis=-1)[..., 0]
+        val = jnp.exp(jnp.log(jnp.maximum(f0, 1e-300)) * (1 - w)
+                      + jnp.log(jnp.maximum(f1, 1e-300)) * w)
+        inside = (nu >= ei.freq_tab[0]) & (nu <= ei.freq_tab[-1])
+        j1 = jnp.where(inside & (f0 > 0) & (f1 > 0), val, 0.0)
+        out = jnp.zeros(j1.shape + (11,))
+        return out.at[..., 0].set(j1)
     raise ValueError(f"unknown emissivity {ename!r}")
 
 

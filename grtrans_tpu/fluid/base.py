@@ -30,6 +30,7 @@ class FluidVars(NamedTuple):
     b: jnp.ndarray             # magnetic four-vector (BL)
     rho2: jnp.ndarray          # secondary density (nonthermal e-)
     kela: Optional[jnp.ndarray] = None  # electron entropy (GRMHD models)
+    fnu: Optional[jnp.ndarray] = None   # tabulated F_nu (PHATDISK)
 
 
 class EmisInputs(NamedTuple):
@@ -38,6 +39,8 @@ class EmisInputs(NamedTuple):
     tcgs: jnp.ndarray
     bcgs: jnp.ndarray
     ncgsnth: jnp.ndarray
+    fnu: Optional[jnp.ndarray] = None       # (npix, npts, nfreq_tab)
+    freq_tab: Optional[jnp.ndarray] = None  # (nfreq_tab,)
 
 
 @dataclass

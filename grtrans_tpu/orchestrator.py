@@ -21,7 +21,7 @@ from grtrans_tpu.geodesics import camera as cam_mod
 from grtrans_tpu.geodesics import geokerr
 from grtrans_tpu import driver
 from grtrans_tpu.fluid.base import load_fluid_model, SourceParams, CONST, TAIL
-from grtrans_tpu.fluid import analytic, ffjet, sphacc, harm, hotspot  # noqa: F401
+from grtrans_tpu.fluid import analytic, ffjet, sphacc, harm, hotspot, disks  # noqa: F401
 
 
 def _source_params(cfg, mdot):

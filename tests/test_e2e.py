@@ -118,3 +118,33 @@ class TestHotspot:
         ivals, ab, freqs = grtrans_run(cfg)
         assert np.isfinite(ivals).all()
         assert ivals[..., 0].max() > 0
+
+
+class TestDiskVariants:
+    def test_phatdisk_interp(self):
+        # inhomogeneous disk with tabulated F_nu + INTERP emissivity
+        cfg = GrtransConfig(fname="PHATDISK", ename="INTERP", nvals=1,
+                            spin=0.9, standard=2, nn=(16, 16, 1), mbh=10.0,
+                            mumin=0.5, mumax=0.5, nfreq=3, fmin=1e17,
+                            fmax=1e18, gridvals=(-20.0, 20.0, -20.0, 20.0),
+                            fargs=dict(a=0.9, mbh=10.0, mdot=0.1, nw=80,
+                                       nr=150, nfreq_tab=30, fmin=3e16,
+                                       fmax=3e18))
+        ivals, ab, freqs = grtrans_run(cfg)
+        assert np.isfinite(ivals).all()
+        assert ivals[..., 0].max() > 0
+
+    def test_numdisk_from_file(self):
+        import os
+        f = "/root/reference/phatdiskm8st25.bin"
+        if not os.path.exists(f):
+            import pytest
+            pytest.skip("sample numdisk file unavailable")
+        cfg = GrtransConfig(fname="NUMDISK", ename="BB", nvals=1, spin=0.9,
+                            standard=2, nn=(12, 12, 1), mbh=10.0,
+                            mumin=0.5, mumax=0.5, nfreq=2, fmin=1e17,
+                            fmax=1e18, gridvals=(-20.0, 20.0, -20.0, 20.0),
+                            fargs=dict(dfile=f, tscl=1e7))
+        ivals, ab, freqs = grtrans_run(cfg)
+        assert np.isfinite(ivals).all()
+        assert ivals[..., 0].max() > 0
