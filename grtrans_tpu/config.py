@@ -7,7 +7,7 @@ h*/t*/m*/p*/s*/n* prefixed namelist groups) are passed via `fargs`.
 """
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Any
+from typing import Dict, List, Any, Optional
 
 import numpy as np
 
@@ -37,6 +37,10 @@ class GrtransConfig:
     mdotmin: float = 1.57e15
     mdotmax: float = 1.57e15
     sigcut: float = 1e10
+    # emis-params extras (pgrtrans.f90:19 epotherargs/epcoefindx):
+    # mixture-distribution arguments and 7-coefficient selection mask
+    epotherargs: Optional[tuple] = None
+    epcoefindx: Optional[tuple] = None
     fargs: Dict[str, Any] = field(default_factory=dict)
 
     # emisdata

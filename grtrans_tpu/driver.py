@@ -54,6 +54,19 @@ def calc_emissivity(ename, nu, ei: EmisInputs, ang, cosne, sp: SourceParams):
         return bb.fbbemis(nu, ei.tcgs, 1.8)
     if ename == "BBPOL":
         return bb.fbbpolemis(nu, ei.tcgs, 1.8, cosne)
+    if ename == "MAXJUTT":
+        from grtrans_tpu.emis import mixtures
+        return mixtures.maxjutt(nu, ei.ncgs, ei.bcgs, ei.tcgs, ang,
+                                sp.otherargs or (3.5, 1, 1, 1, 1, 1, 1))
+    if ename == "MAXCOMP":
+        from grtrans_tpu.emis import mixtures
+        return mixtures.maxcomp(nu, ei.ncgs, ei.bcgs, ei.tcgs, ang,
+                                sp.otherargs
+                                or (3.5, 1, 1, 1, 1, 1, 1, 1))
+    if ename in ("SYNCHBIN", "POLSYNCHBIN"):
+        from grtrans_tpu.emis import binned
+        return binned.synchbinemis(nu, ei.nbins, ei.bcgs, ang,
+                                   ei.gammas, ei.dgammas)
     if ename in ("BREMS", "BREMSHEROIC"):
         return brems.brememis_heroic(nu, ei.ncgs, ei.tcgs)
     if ename == "BREMSGRAY":
@@ -179,6 +192,12 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
     for fghz in freqs:
         nu = fghz / g
         e = calc_emissivity(ename, nu, ei, ang, cosne, sp)
+        if sp.coefindx is not None:
+            # zero de-selected absorption/rotation coefficients
+            # (emis.f90:557-558 usecoefs; epcoefindx in pgrtrans.f90:19)
+            cmask = jnp.concatenate([
+                jnp.ones(4), jnp.asarray(sp.coefindx, dtype=jnp.float64)])
+            e = e * cmask
         e = jnp.where(ok[..., None], e, 0.0)
         e = jnp.where(jnp.isfinite(e), e, 0.0)
         j, K = framework.split_e(e)

@@ -31,6 +31,7 @@ class FluidVars(NamedTuple):
     rho2: jnp.ndarray          # secondary density (nonthermal e-)
     kela: Optional[jnp.ndarray] = None  # electron entropy (GRMHD models)
     fnu: Optional[jnp.ndarray] = None   # tabulated F_nu (PHATDISK)
+    nbins: Optional[jnp.ndarray] = None  # nonthermal e- bins (KORAL)
 
 
 class EmisInputs(NamedTuple):
@@ -41,6 +42,10 @@ class EmisInputs(NamedTuple):
     ncgsnth: jnp.ndarray
     fnu: Optional[jnp.ndarray] = None       # (npix, npts, nfreq_tab)
     freq_tab: Optional[jnp.ndarray] = None  # (nfreq_tab,)
+    # binned nonthermal e- populations (KORAL relel bins; SYNCHBIN)
+    nbins: Optional[jnp.ndarray] = None     # (npix, npts, nbin) [cm^-3]
+    gammas: Optional[jnp.ndarray] = None    # (nbin,) bin centers
+    dgammas: Optional[jnp.ndarray] = None   # (nbin,) bin widths
 
 
 @dataclass
@@ -57,6 +62,10 @@ class SourceParams:
     jetalpha: float = 0.02
     stype: int = CONST         # CONST or TAIL gamma_min model
     sigcut: float = 1e10
+    # emis_params extras (emis.f90:31-40): mixture args for MAXJUTT /
+    # MAXCOMP and the 7-element coefficient-selection mask
+    otherargs: Optional[tuple] = None
+    coefindx: Optional[tuple] = None
 
 
 def scale_sim_units(mbh, mdotcgs, mdot_code, rho, p, bmag):

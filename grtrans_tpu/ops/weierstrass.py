@@ -59,6 +59,14 @@ def wp(z, g2, g3):
     g2 = jnp.asarray(g2, jnp.float64)
     g3 = jnp.asarray(g3, jnp.float64)
     z, g2, g3 = jnp.broadcast_arrays(z, g2, g3)
+    # Materialize degenerate-dim broadcasts ((npix,1) invariants vs
+    # (npix,npts) z) arithmetically: a bare HLO broadcast of a parameter
+    # with size-1 dims sends XLA's algebraic simplifier into a circular
+    # simplification loop (50-run bailout, catastrophic compile times on
+    # TPU).  The 0*z add is folded AFTER fusion decisions, breaking the
+    # cycle.
+    g2 = g2 + 0.0 * z
+    g3 = g3 + 0.0 * z
 
     # invariant scale: series converges for |z| << min lattice distance
     # ~ |g2|^(-1/4), |g3|^(-1/6)

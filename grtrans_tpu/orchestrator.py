@@ -29,7 +29,8 @@ def _source_params(cfg, mdot):
                         gmin=cfg.gmin, gmax=cfg.gmax, p1=cfg.p1, p2=cfg.p2,
                         jetalpha=cfg.jetalpha,
                         stype=CONST if cfg.stype == "const" else TAIL,
-                        sigcut=cfg.sigcut)
+                        sigcut=cfg.sigcut,
+                        otherargs=cfg.epotherargs, coefindx=cfg.epcoefindx)
 
 
 def grtrans_run(cfg: GrtransConfig, model=None, verbose=False):
