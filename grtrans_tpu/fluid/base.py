@@ -191,9 +191,24 @@ def load_fluid_model(name, **kwargs):
     """Instantiate + load a fluid model by fname (fluid.f90:163-243)."""
     cls = _REGISTRY.get(name.upper())
     if cls is None:
+        _import_all_models()
+        cls = _REGISTRY.get(name.upper())
+    if cls is None:
         raise ValueError(f"unknown fluid model {name!r}; have "
                          f"{sorted(_REGISTRY)}")
     return cls(**kwargs)
+
+
+def _import_all_models():
+    """Import every model module so @register side effects populate the
+    registry (the reference's compile-time model enum, fluid.f90:39-43)."""
+    import importlib
+    for mod in ("analytic", "ffjet", "sphacc", "harm", "harm3d", "harmpi",
+                "iharm", "koral", "thickdisk", "mb09", "hotspot", "disks"):
+        try:
+            importlib.import_module(f"grtrans_tpu.fluid.{mod}")
+        except ImportError:
+            pass
 
 
 def get_fluid_vars(model, x, k, a):

@@ -75,7 +75,7 @@ class PhatDisk:
         for k_i, nu in enumerate(freq):
             z = pc.h * nu / pc.k / T / self.fcol
             zi = z[:, None] / w[None, :]
-            den = np.where(zi > 1e-4, np.expm1(zi), zi)
+            den = np.where(zi > 1e-4, np.expm1(np.minimum(zi, 700.0)), zi)
             igrand = np.where(fw[None, :] > 0, fw[None, :] / den, 0.0)
             integ = np.trapezoid(igrand, x, axis=1)
             fnu[:, k_i] = self.fcol ** (-4.0) * 2.0 * np.pi * z ** 3 \

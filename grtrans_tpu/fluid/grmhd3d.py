@@ -65,6 +65,9 @@ class Grmhd3D:
 
     nt_slices: int = 1
     tstep: float = 1.0
+    # theta-fraction space: physical theta (harm3d_vals:189-207) or
+    # simulation x2 (needed when theta(x2) also depends on x1 — MMKS)
+    interp_td_in_x2: bool = False
 
     def x123_of_blks(self, r, th, ph):
         """Default MKS(h)-style map: x1 = ln r, x2 = x2(theta), x3 = phi
@@ -111,8 +114,12 @@ class Grmhd3D:
 
         # fractional distances in physical coordinates (:189-207)
         rd = (r - self.uniqr[lx1]) / (self.uniqr[lx1 + 1] - self.uniqr[lx1])
-        dth = self.uniqth[lx2 + 1] - self.uniqth[lx2]
-        td = jnp.abs(th - self.uniqth[lx2]) / dth
+        if self.interp_td_in_x2:
+            td = (x2 - self.uniqx2[lx2]) / (self.uniqx2[lx2 + 1]
+                                            - self.uniqx2[lx2])
+        else:
+            dth = self.uniqth[lx2 + 1] - self.uniqth[lx2]
+            td = jnp.abs(th - self.uniqth[lx2]) / dth
         pd = (x3 - minph) / dph
 
         # innermost-zone handling (:209-218)

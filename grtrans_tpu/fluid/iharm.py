@@ -69,6 +69,7 @@ class Iharm(grmhd3d.Grmhd3D):
         self.h = float(d["hslope"])
         self.gam = float(d["gam"])
         self.is_mmks = int(d.get("metric", 0)) == 1
+        self.interp_td_in_x2 = True
         self.mks_smooth = float(d.get("mks_smooth", 0.5))
         self.poly_xt = float(d.get("poly_xt", 0.82))
         self.poly_alpha = float(d.get("poly_alpha", 14.0))

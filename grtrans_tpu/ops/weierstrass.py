@@ -58,15 +58,18 @@ def wp(z, g2, g3):
     z = jnp.asarray(z, jnp.float64)
     g2 = jnp.asarray(g2, jnp.float64)
     g3 = jnp.asarray(g3, jnp.float64)
-    z, g2, g3 = jnp.broadcast_arrays(z, g2, g3)
-    # Materialize degenerate-dim broadcasts ((npix,1) invariants vs
-    # (npix,npts) z) arithmetically: a bare HLO broadcast of a parameter
-    # with size-1 dims sends XLA's algebraic simplifier into a circular
-    # simplification loop (50-run bailout, catastrophic compile times on
-    # TPU).  The 0*z add is folded AFTER fusion decisions, breaking the
-    # cycle.
-    g2 = g2 + 0.0 * z
-    g3 = g3 + 0.0 * z
+    # Do NOT jnp.broadcast_arrays the invariants up to z's shape: the
+    # explicit degenerate-dim broadcast HLOs that produces ((npix,1) ->
+    # (npix,npts)) send XLA's algebraic simplifier into a circular
+    # simplification loop (50-run bailout; catastrophic TPU compile
+    # times), and materializing them instead multiplies the 16 Laurent
+    # coefficient arrays by npts in memory (HBM OOM at render sizes).
+    # Plain arithmetic broadcasting keeps every invariant-derived array
+    # at the SMALL shape and compiles cleanly.
+    if z.ndim < jnp.ndim(g2) or z.ndim < jnp.ndim(g3):
+        z = jnp.broadcast_to(
+            z, jnp.broadcast_shapes(z.shape, jnp.shape(g2),
+                                    jnp.shape(g3)))
 
     # invariant scale: series converges for |z| << min lattice distance
     # ~ |g2|^(-1/4), |g3|^(-1/6)
