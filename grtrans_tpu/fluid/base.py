@@ -32,6 +32,7 @@ class FluidVars(NamedTuple):
     kela: Optional[jnp.ndarray] = None  # electron entropy (GRMHD models)
     fnu: Optional[jnp.ndarray] = None   # tabulated F_nu (PHATDISK)
     nbins: Optional[jnp.ndarray] = None  # nonthermal e- bins (KORAL)
+    be: Optional[jnp.ndarray] = None    # Bernoulli / T_ion (KORAL)
 
 
 class EmisInputs(NamedTuple):

@@ -1,0 +1,564 @@
+"""HARMPI 3-D GRMHD snapshot fluid model (Sasha Tchekhovskoy's harmpi).
+
+Parity: reference fluid_model_harmpi.f90 + fluid.f90
+convert_fluidvars_harmpi (:1028-1072).
+
+ * Dumps are binary stream files: one ASCII header line, then float32
+   data of `dlen` values per zone (read_harmpi_data_file :1120-1313).
+   Full dumps (SDUMP=0, the supported kind): grid x1,x2,x3,r,th,ph at
+   1-based cols 4-9, rho@10, internal energy u@11 (converted to
+   pressure with gam-1, load_harmpi_data :1393), electron entropies
+   kel4a-d @ 18-21 when eHEAT/eCOND, u^mu(MKS) @ vpos=19+DOKTOT,
+   b^mu(MKS) @ vpos+8.  ("Small" sdumps need the gdump metric and are
+   not supported — pass full dumps.)
+ * The header is a single whitespace-separated line whose LENGTH
+   selects the variant (read_harmpi_data_header :900-1081): 46 fields
+   = public harmpi, >=60 = private with cylindrified-coordinate
+   parameters; we parse the same cascade.
+ * Coordinates: r = R0 + exp(x1 + cpow2 (x1-xbr)^npow2 for x1 > xbr)
+   (calcrmks :442-457); theta is either MKS-with-hslope on x2 in
+   [-1,1) (BL=1, harmpi_vals :641) or Jon/Sasha's "jetcoords" BL=3
+   map calcthmksbl3 (:399-423) built from smooth-transition functions
+   Ftr/Ftrgen/Fangle/mins/maxs (:132-219) blending disk and jet
+   theta-compressions thetaofx2 (:318-327), optionally cylindrified
+   near the axis (calcth_cylindrified :329-367).  Inversions r->x1,
+   th->x2 are fixed-count bisections (reference uses zbrent,
+   transformbl2mksbl3 :503-533) — branch-free under vmap.
+ * Four-vector MKS->KS transforms use exact dr/dx1 and CENTRAL-
+   DIFFERENCE dth/dx1, dth/dx2 exactly like the reference
+   (umks2uksbl3 :535-573; umksh2uks :575-605), then KS->BL.
+ * Sampling: the reference uses pure NEAREST-NEIGHBOR cell lookup
+   (harmpi_vals :736-737 hardcodes rd=td=pd=1 — interpolation is
+   commented out) with the 1e-3 p/rho damping inside the innermost
+   zone; we mirror that, so values at grid nodes are EXACT.
+ * Unit conversion (convert_fluidvars_harmpi): scale_sim_units with
+   mdot_code = G M / c^3, then electron temperature by gmin flag:
+   gmin >= 1 -> Moscibrodzka R(beta) with rlow = 1/mu - 1,
+   rhigh = gmin (1/mu - 1), T_e = T / (1 + trat); gmin in [0, 1) ->
+   Werner+2018 delta_e scaled by mu; gmin = -1..-4 -> ressler_e on
+   kel4a..d; plus nonthermale_b2 jet nonthermal density and the
+   sigma cut.
+"""
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from grtrans_tpu import constants as pc
+from grtrans_tpu.geometry import kerr, fourvector as fv
+from grtrans_tpu.geometry.kerr import safe_sqrt
+from grtrans_tpu.fluid import base
+from grtrans_tpu.fluid.base import FluidVars, EmisInputs
+
+SMALL = 1e-20
+
+
+# ---------------------------------------------------------------------
+# smooth-transition helpers (fluid_model_harmpi.f90:132-219)
+# ---------------------------------------------------------------------
+
+def ftr(x):
+    """C^inf step from 0 (x<=0) to 1 (x>=1) (Ftr :132-139)."""
+    pi = jnp.pi
+    xc = jnp.clip(x, 0.0, 1.0)
+    mid = (64 + jnp.cos(5 * pi * xc) + 70 * jnp.sin(pi * (2 * xc - 1) / 2)
+           + 5 * jnp.sin(3 * pi * (2 * xc - 1) / 2)) / 128.0
+    return jnp.where(x <= 0.0, 0.0, jnp.where(x >= 1.0, 1.0, mid))
+
+
+def ftrgen(x, xa, xb, ya, yb):
+    return ya + (yb - ya) * ftr((x - xa) / (xb - xa))
+
+
+def fangle(x):
+    """Smoothed max(x, 0) (Fangle :152-167)."""
+    pi = jnp.pi
+    xc = jnp.clip(x, -1.0, 1.0)
+    mid = (1 + xc + (-140 * jnp.sin(pi * (1 + xc) / 2)
+                     + (10.0 / 3.0) * jnp.sin(3 * pi * (1 + xc) / 2)
+                     + 0.4 * jnp.sin(5 * pi * (1 + xc) / 2))
+           / (64.0 * pi)) / 2.0
+    return jnp.where(x < -1.0, 0.0, jnp.where(x > 1.0, x, mid))
+
+
+def limlin(x, x0, dx, y0):
+    return y0 - dx * fangle(-(x - x0) / dx)
+
+
+def mins(f1, f2, df):
+    return limlin(f1, f2, df, f2)
+
+
+def maxs(f1, f2, df):
+    return -mins(-f1, -f2, df)
+
+
+def minmaxs(f1, f2, df, direction):
+    return jnp.where(direction > 0.0, maxs(f1, f2, df), mins(f1, f2, df))
+
+
+def thetaofx2(x2, ror0nu):
+    """Jet/disk theta-compression map on x2 in [-1, 1] (:318-327)."""
+    pi = jnp.pi
+    th1 = jnp.arctan(jnp.tan((x2 + 1) * pi / 2) / ror0nu)
+    th2 = pi + jnp.arctan(jnp.tan((x2 - 1) * pi / 2) / ror0nu)
+    th3 = pi / 2 + jnp.arctan(jnp.tan(x2 * pi / 2) * ror0nu)
+    return jnp.where(x2 < -0.5, th1, jnp.where(x2 > 0.5, th2, th3))
+
+
+@dataclass
+class BL3Params:
+    """Cylindrified jetcoords parameters (read_bl3_vars :369-397
+    defaults; overridden from private-format headers)."""
+    R0: float = 0.0
+    rbr: float = 400.0
+    npow2: float = 4.0
+    cpow2: float = 1.0
+    hslope: float = 0.3
+    startx1: float = 0.0
+    fracdisk: float = 0.25
+    fracjet: float = 0.40
+    disknu1: float = -2.0
+    disknu2: float = 0.75
+    jetnu1: float = -2.0
+    jetnu2: float = 0.75
+    rsjet: float = 0.0
+    r0grid: float = 1.6
+    r0jet: float = 3.2
+    rjetend: float = 1e3
+    r0disk: float = 3.2
+    rdiskend: float = 8.0
+    x10: float = 5.0
+    x20: float = -1.0 + 1.0 / 256.0
+
+    @property
+    def xbr(self):
+        return np.log(self.rbr - self.R0)
+
+
+def calcrmks(x1, p: BL3Params):
+    """x1 -> r (calcrmks :442-457)."""
+    xi = jnp.where(x1 > p.xbr,
+                   x1 + p.cpow2 * jnp.maximum(x1 - p.xbr, 0.0) ** p.npow2,
+                   x1)
+    return p.R0 + jnp.exp(xi)
+
+
+def drdx1_mks(x1, p: BL3Params):
+    dxi = jnp.where(x1 > p.xbr, 1.0 + p.npow2 * p.cpow2
+                    * jnp.maximum(x1 - p.xbr, 0.0) ** (p.npow2 - 1.0), 1.0)
+    xi = jnp.where(x1 > p.xbr,
+                   x1 + p.cpow2 * jnp.maximum(x1 - p.xbr, 0.0) ** p.npow2,
+                   x1)
+    return jnp.exp(xi) * dxi
+
+
+def x1_of_r(r, p: BL3Params, lo=-2.0, hi=12.0, iters=60):
+    """Invert calcrmks by bisection (reference zbrent,
+    transformbl2mksbl3 :519)."""
+    lo = jnp.full(jnp.shape(r), lo)
+    hi = jnp.full(jnp.shape(r), hi)
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        big = calcrmks(mid, p) > r
+        hi = jnp.where(big, mid, hi)
+        lo = jnp.where(big, lo, mid)
+    return 0.5 * (lo + hi)
+
+
+def calcthmksbl3(x2, r, p: BL3Params):
+    """BL=3 theta(x2, r) (calcthmksbl3 :399-423)."""
+    fac = ftrgen(jnp.abs(x2), p.fracdisk, 1 - p.fracjet, 0.0, 1.0)
+    r1disk = mins(r / p.r0disk, 1.0, 0.5) * (p.r0disk / p.r0grid)
+    r2disk = r / (r1disk * p.r0grid)
+    dr = p.rdiskend / p.r0disk
+    r2disk = mins(r2disk, dr, 0.5 * dr)
+    r1jet = mins(r / p.r0jet, 1.0, 0.5) * (p.r0jet / p.r0grid)
+    r2jet = r / (r1jet * p.r0grid)
+    dr = p.rjetend / p.r0jet
+    r2jet = mins(r2jet, dr, 0.5 * dr)
+    ror0nudisk = r1disk ** (0.5 * p.disknu1) * r2disk ** (0.5 * p.disknu2)
+    ror0nujet = r1jet ** (0.5 * p.jetnu1) * r2jet ** (0.5 * p.jetnu2)
+    thetadisk = thetaofx2(x2, ror0nudisk)
+    thetajet = thetaofx2(x2, ror0nujet)
+    return fac * thetajet + (1 - fac) * thetadisk
+
+
+def to1stquadrant(x2in):
+    """Map x2 to [-1, 0] tracking mirroring (:221-240)."""
+    ntimes = jnp.floor((x2in + 2.0) / 4.0)
+    x2 = x2in - 4.0 * ntimes
+    mirrored = jnp.zeros(jnp.shape(x2in), bool)
+    pos = x2 > 0.0
+    x2 = jnp.where(pos, -x2, x2)
+    mirrored = mirrored ^ pos
+    low = x2 < -1.0
+    x2 = jnp.where(low, -2.0 - x2, x2)
+    mirrored = mirrored ^ low
+    return x2, mirrored
+
+
+def _sinth1in(r0, r, x20, x2, p):
+    thc = calcthmksbl3(x2, jnp.full(jnp.shape(x2), r0), p)
+    return r0 * jnp.sin(thc) / r
+
+
+def _th2in(r0, r, x20, x2, p):
+    z = jnp.zeros(jnp.shape(r))
+    thetac = calcthmksbl3(x20 + z, r, p)
+    thetamid = calcthmksbl3(z, r, p)
+    theta = calcthmksbl3(x2, r, p)
+    th0v = calcthmksbl3(jnp.full(jnp.shape(r), x20),
+                        jnp.full(jnp.shape(r), r0), p)
+    sth0 = r0 * jnp.sin(th0v) / r
+    th0 = jnp.arcsin(jnp.clip(sth0, -1.0, 1.0))
+    return (theta - thetac) / (thetamid - thetac) * (thetamid - th0) + th0
+
+
+def _func2(r0, r, x20, x2, p):
+    mone = jnp.full(jnp.shape(x2), -1.0)
+    sth1in = _sinth1in(r0, r, x20, x2, p)
+    sth2in = jnp.sin(_th2in(r0, r, x20, x2, p))
+    sth1ax = _sinth1in(r0, r, x20, mone, p)
+    sth2ax = jnp.sin(_th2in(r0, r, x20, mone, p))
+    return minmaxs(sth1in, sth2in, jnp.abs(sth2ax - sth1ax) + SMALL,
+                   r - r0)
+
+
+def calcth_cylindrified(x2in, rin, p: BL3Params):
+    """Cylindrify theta near the axis (calcth_cylindrified :329-367)."""
+    thorig = calcthmksbl3(x2in, rin, p)
+    x2m, mirrored = to1stquadrant(x2in)
+    thmirror = calcthmksbl3(x2m, rin, p)
+    r0 = calcrmks(jnp.asarray(p.x10), p)
+    x20 = p.x20
+    x1tr = jnp.log(0.5 * (jnp.exp(p.x10) + jnp.exp(p.startx1)))
+    rtr = calcrmks(x1tr, p)
+    rtrv = jnp.full(jnp.shape(rin), rtr)
+    f1 = jnp.sin(calcthmksbl3(x2m, rin, p))
+    f2 = _func2(r0, rin, x20, x2m, p)
+    dftr = _func2(r0, rtrv, x20, x2m, p) \
+        - jnp.sin(calcthmksbl3(x2m, rtrv, p))
+    sinth = maxs(rin * f1, rin * f2,
+                 rtr * jnp.abs(dftr) + SMALL) / rin
+    th = jnp.arcsin(jnp.clip(sinth, -1.0, 1.0))
+    return jnp.where(mirrored, thorig - (th - thmirror),
+                     thorig + (th - thmirror))
+
+
+def x2_of_th_bl3(th, r, p: BL3Params, iters=60):
+    """Invert calcthmksbl3 in x2 by bisection (reference zbrent on
+    findx2mksbl3 :425-440; NOT the cylindrified map, matching
+    transformbl2mksbl3 :526)."""
+    lo = jnp.full(jnp.shape(th), -1.0)
+    hi = jnp.full(jnp.shape(th), 1.0)
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        big = calcthmksbl3(mid, r, p) > th
+        hi = jnp.where(big, mid, hi)
+        lo = jnp.where(big, lo, mid)
+    return 0.5 * (lo + hi)
+
+
+# ---------------------------------------------------------------------
+# BL=1 MKS map (harmpi_vals :641, umksh2uks :575-605)
+# ---------------------------------------------------------------------
+
+def theta_mksh(x2, hslope):
+    """x2 in [-1, 1) -> theta (harmpi_vals :641)."""
+    return jnp.pi / 2 * (1 + x2) \
+        + 0.5 * (1 - hslope) * jnp.sin(jnp.pi * (1 + x2))
+
+
+def x2_of_th_mksh(th, hslope, iters=40):
+    x2 = th / jnp.pi * 2.0 - 1.0
+    for _ in range(iters):
+        f = theta_mksh(x2, hslope) - th
+        df = jnp.pi / 2 * (1 + (1 - hslope) * jnp.cos(jnp.pi * (1 + x2)))
+        x2 = jnp.clip(x2 - f / jnp.maximum(df, 1e-10), -1.0, 1.0)
+    return x2
+
+
+# ---------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------
+
+def parse_harmpi_header(line):
+    """Parse the whitespace header with the reference's length cascade
+    (read_harmpi_data_header :900-1081)."""
+    vals = [float(v) for v in line.split()]
+    nhead = len(vals)
+    h = {}
+    keys = ["tcur", "N1", "N2", "N3", "nx1", "nx2", "nx3", "N1G", "N2G",
+            "N3G", "startx1", "startx2", "startx3", "dx1", "dx2", "dx3",
+            "tf", "nstep", "asim", "gam", "cour", "DTd", "DTl", "DTi",
+            "DTr", "DTr01", "dump_cnt", "image_cnt", "rdump_cnt",
+            "rdump01_cnt", "dt", "lim", "failed", "Rin", "Rout",
+            "hslope", "R0"]
+    for i, k in enumerate(keys):
+        h[k] = vals[i]
+    n = len(keys)
+    h.update(eHEAT=-1, eCOND=-1, DOKTOT=0, BL=1.0, SDUMP=0,
+             DOCYLINDRIFYCOORDS=0.0, rbr=400.0, npow2=4.0, cpow2=1.0)
+    if 45 <= nhead <= 46:
+        for k in ("NPR", "DOKTOT", "fractheta", "fracphi", "rbr",
+                  "npow2", "cpow2", "BL"):
+            h[k] = vals[n]; n += 1
+    else:
+        for k in ("NPR", "DOKTOT", "eHEAT", "eCOND", "DONUCLEAR"):
+            if n < nhead:
+                h[k] = vals[n]; n += 1
+        if n < nhead:
+            h["DOFLR"] = vals[n]; n += 1
+        cyl_keys = ("DOCYLINDRIFYCOORDS", "fractheta", "fracphi", "rbr",
+                    "npow2", "cpow2", "global_x10", "global_x20",
+                    "global_fracdisk", "global_fracjet", "global_r0disk",
+                    "global_rdiskend", "global_r0jet", "global_rjetend",
+                    "global_jetnu2", "global_rsjet", "global_r0grid")
+        if n + len(cyl_keys) <= nhead:
+            for k in cyl_keys:
+                h[k] = vals[n]; n += 1
+        for k in ("BL", "EVOLVEVPOT", "global_jetnu1", "global_disknu1",
+                  "global_disknu2"):
+            if n < nhead:
+                h[k] = vals[n]; n += 1
+        if n + 2 <= nhead:
+            h["myNp"], h["NPTOT"] = vals[n], vals[n + 1]; n += 2
+        if n < nhead:
+            h["SDUMP"] = vals[n]; n += 1
+    h["nhead"] = nhead
+    # dlen for full dumps (:1066-1080)
+    eon = (h.get("eHEAT", -1) == 1) or (h.get("eCOND", -1) == 1)
+    h["dlen"] = int(58 - 19 + h.get("NPR", 0)) if eon else 42
+    return h
+
+
+def bl3_params_from_header(h):
+    p = BL3Params(R0=h["R0"], rbr=h.get("rbr", 400.0),
+                  npow2=h.get("npow2", 4.0), cpow2=h.get("cpow2", 1.0),
+                  hslope=h["hslope"], startx1=h["startx1"])
+    rin = np.exp(h["startx1"]) + h["R0"]
+    defaults = dict(global_fracdisk=0.25, global_fracjet=0.40,
+                    global_disknu1=-2.0, global_disknu2=0.75,
+                    global_jetnu1=-2.0, global_jetnu2=0.75,
+                    global_rsjet=0.0, global_r0grid=rin,
+                    global_r0jet=2 * rin, global_rjetend=1e3,
+                    global_r0disk=2 * rin, global_rdiskend=5 * rin,
+                    global_x10=5.0, global_x20=-1.0 + 1.0 / 256.0)
+    for k, v in defaults.items():
+        h.setdefault(k, v)
+    p.fracdisk = h["global_fracdisk"]
+    p.fracjet = h["global_fracjet"]
+    p.disknu1 = h["global_disknu1"]
+    p.disknu2 = h["global_disknu2"]
+    p.jetnu1 = h["global_jetnu1"]
+    p.jetnu2 = h["global_jetnu2"]
+    p.rsjet = h["global_rsjet"]
+    p.r0grid = h["global_r0grid"]
+    p.r0jet = h["global_r0jet"]
+    p.rjetend = h["global_rjetend"]
+    p.r0disk = h["global_r0disk"]
+    p.rdiskend = h["global_rdiskend"]
+    p.x10 = h["global_x10"]
+    p.x20 = h["global_x20"]
+    return p
+
+
+def read_harmpi_dump(dfile, hfile=None):
+    """One full harmpi dump -> dict (read_harmpi_data_file :1120-1313,
+    SDUMP=0 layout)."""
+    with open(dfile, "rb") as f:
+        raw = f.read()
+    nl = raw.index(b"\n")
+    if hfile:
+        h = parse_harmpi_header(open(hfile).read().strip())
+    else:
+        h = parse_harmpi_header(raw[:nl].decode())
+    n = int(h["nx1"]) * int(h["nx2"]) * int(h["nx3"])
+    dlen = h["dlen"]
+    data = np.frombuffer(raw[nl + 1:nl + 1 + 4 * dlen * n],
+                         np.float32).reshape(n, dlen).astype(np.float64)
+    doktot = int(max(h.get("DOKTOT", 0), 0))
+    vpos = 18 + doktot          # 1-based
+    out = dict(h=h, x1=data[:, 3], x2=data[:, 4], x3=data[:, 5],
+               r=data[:, 6], th=data[:, 7], ph=data[:, 8],
+               rho=data[:, 9], uint=data[:, 10],
+               u=data[:, vpos:vpos + 4],
+               b=data[:, vpos + 8:vpos + 12])
+    if h.get("eHEAT", -1) == 1 or h.get("eCOND", -1) == 1:
+        out["kela"] = data[:, 17]
+        out["kelb"] = data[:, 18]
+        out["kelc"] = data[:, 19]
+        out["keld"] = data[:, 20]
+    return out
+
+
+@base.register("HARMPI")
+@dataclass
+class HarmPI:
+    dfile: str = ""
+    hfile: Optional[str] = None
+    nt: int = 1
+    dump: Optional[dict] = None
+    mdot_code: Optional[float] = None   # default G M / c^3 at convert
+
+    def __post_init__(self):
+        d = self.dump if self.dump is not None else read_harmpi_dump(
+            self.dfile, self.hfile)
+        h = d["h"] if isinstance(d.get("h"), dict) else d
+        self.hdr = h
+        self.asim = float(h["asim"])
+        self.gam = float(h["gam"])
+        self.BL = int(h.get("BL", 1))
+        self.hslope = float(h["hslope"])
+        self.nx1 = nx1 = int(h["nx1"])
+        self.nx2 = nx2 = int(h["nx2"])
+        self.nx3 = nx3 = int(h["nx3"])
+        self.p3 = bl3_params_from_header(dict(h)) if self.BL == 3 \
+            else BL3Params(R0=h.get("R0", 0.0), hslope=self.hslope)
+        self.cyl = bool(h.get("DOCYLINDRIFYCOORDS", 0))
+        # x3 fastest, then x2, then x1 (harmpi_vals :638-640)
+        shape = (nx1, nx2, nx3)
+        self.uniqx1 = jnp.asarray(d["x1"].reshape(shape)[:, 0, 0])
+        self.uniqx2 = jnp.asarray(d["x2"].reshape(shape)[0, :, 0])
+        self.uniqx3 = jnp.asarray(d["x3"].reshape(shape)[0, 0, :])
+        self.uniqr = jnp.asarray(
+            np.asarray(calcrmks(self.uniqx1, self.p3)))
+        r_flat = jnp.asarray(d["r"])
+        th_flat = jnp.asarray(d["th"])
+        x1f = jnp.asarray(d["x1"])
+        x2f = jnp.asarray(d["x2"])
+        u_bl = self._umks2ubl(jnp.asarray(d["u"]), x1f, x2f, r_flat)
+        b_bl = self._umks2ubl(jnp.asarray(d["b"]), x1f, x2f, r_flat)
+        vr = u_bl[..., 1] / u_bl[..., 0]
+        vth = u_bl[..., 2] / u_bl[..., 0]
+        om = u_bl[..., 3] / u_bl[..., 0]
+        vrl, vtl, vpl = kerr.lnrf_frame(vr, vth, om, r_flat, self.asim,
+                                        th_flat)
+        # internal energy -> pressure (load_harmpi_data :1393)
+        self.f = {k: v.reshape(shape) for k, v in dict(
+            rho=jnp.asarray(d["rho"]),
+            p=jnp.asarray(d["uint"]) * (self.gam - 1.0),
+            u0=u_bl[..., 0], vrl=vrl, vtl=vtl, vpl=vpl,
+            b0=b_bl[..., 0], br=b_bl[..., 1], bth=b_bl[..., 2],
+            bph=b_bl[..., 3]).items()}
+        for k in ("kela", "kelb", "kelc", "keld"):
+            if k in d:
+                self.f[k] = jnp.asarray(d[k]).reshape(shape)
+        self.has_kel = "kela" in self.f
+
+    def _theta_of_x2(self, x2, r):
+        if self.BL == 3:
+            if self.cyl:
+                return calcth_cylindrified(x2, r, self.p3)
+            return calcthmksbl3(x2, r, self.p3)
+        return theta_mksh(x2, self.hslope)
+
+    def _umks2ubl(self, um, x1, x2, r):
+        """MKS -> KS (exact dr/dx1 + central-difference theta
+        derivatives, umks2uksbl3 :535-573) -> BL."""
+        if self.BL == 3:
+            dx1 = 1e-4 * jnp.maximum(jnp.abs(x1), 1.0)
+            dx2 = 1e-6 * jnp.maximum(jnp.abs(x2), 1.0)
+            drdx1 = drdx1_mks(x1, self.p3)
+            dthdx1 = (self._theta_of_x2(x2, calcrmks(x1 + 0.5 * dx1,
+                                                     self.p3))
+                      - self._theta_of_x2(x2, calcrmks(x1 - 0.5 * dx1,
+                                                       self.p3))) / dx1
+            dthdx2 = (self._theta_of_x2(x2 + 0.5 * dx2, r)
+                      - self._theta_of_x2(x2 - 0.5 * dx2, r)) / dx2
+            uks = jnp.stack([um[..., 0], drdx1 * um[..., 1],
+                             dthdx1 * um[..., 1] + dthdx2 * um[..., 2],
+                             um[..., 3]], axis=-1)
+        else:
+            dthdx2 = jnp.pi / 2 * (1 + (1 - self.hslope)
+                                   * jnp.cos(jnp.pi * (1 + x2)))
+            uks = jnp.stack([um[..., 0], r * um[..., 1],
+                             dthdx2 * um[..., 2], um[..., 3]], axis=-1)
+        return kerr.uks2ubl(uks, r, self.asim)
+
+    def vals(self, x, k, a):
+        nx1, nx2, nx3 = self.nx1, self.nx2, self.nx3
+        r = x[..., 1]
+        th = x[..., 2]
+        zphi = jnp.mod(kerr.bl2ks_phi(r, x[..., 3], a), 2.0 * jnp.pi)
+        zphi = jnp.where(zphi < 0.0, zphi + 2.0 * jnp.pi, zphi)
+        zphi = jnp.where(zphi < 0.0, zphi + 2.0 * jnp.pi, zphi)
+        if self.BL == 3:
+            x1 = x1_of_r(r, self.p3)
+            x2 = x2_of_th_bl3(th, r, self.p3)
+        else:
+            x1 = jnp.log(jnp.maximum(r - self.p3.R0, 1e-12))
+            x2 = x2_of_th_mksh(th, self.hslope)
+        x3 = zphi
+        u1a, u1b = self.uniqx1[0], self.uniqx1[-1]
+        u2a, u2b = self.uniqx2[0], self.uniqx2[-1]
+        u3a, u3b = self.uniqx3[0], self.uniqx3[-1]
+        # nearest-neighbor upper-corner lookup (harmpi_vals :736-737:
+        # rd=td=pd=1 selects the ux corner)
+        lx1 = jnp.floor((x1 - u1a) / (u1b - u1a) * (nx1 - 1)).astype(int)
+        lx2 = jnp.floor((x2 - u2a) / (u2b - u2a) * (nx2 - 1)).astype(int)
+        lx3 = jnp.floor((x3 - u3a) / (u3b - u3a) * (nx3 - 1)).astype(int)
+        ix1 = jnp.clip(lx1 + 1, 0, nx1 - 1)
+        ix2 = jnp.clip(lx2 + 1, 0, nx2 - 1)
+        ix3 = jnp.mod(lx3 + 1, nx3)
+        rh = kerr.horizon(a)
+        inner = self.uniqr[jnp.clip(lx1, 0, nx1 - 1)] <= rh
+        damp = jnp.where(inner, 1e-3, 1.0)
+        outside = x1 <= u1a
+
+        def nn(g):
+            return g[ix1, ix2, ix3]
+
+        rho = jnp.where(outside, 0.0, nn(self.f["rho"])) * damp
+        p = jnp.where(outside, 1e-18, nn(self.f["p"])) * damp
+        u0 = jnp.where(outside, 1.0, nn(self.f["u0"]))
+        vrl = jnp.where(outside, 0.0, nn(self.f["vrl"]))
+        vtl = jnp.where(outside, 0.0, nn(self.f["vtl"]))
+        vpl = jnp.where(outside, 0.0, nn(self.f["vpl"]))
+        b = jnp.stack([nn(self.f["b0"]), nn(self.f["br"]),
+                       nn(self.f["bth"]), nn(self.f["bph"])], axis=-1)
+        b = jnp.where(outside[..., None],
+                      jnp.array([0.0, 0.0, 0.0, 1.0]), b)
+        g_cov = kerr.metric_cov(r, th, a)
+        bmag = safe_sqrt(fv.dot(g_cov, b, b))
+        vr, vth, om = kerr.lnrf_frame_inv(vrl, vtl, vpl, r, a, th)
+        u = jnp.stack([u0, u0 * vr, u0 * vth, u0 * om], axis=-1)
+        kel = {}
+        if self.has_kel:
+            for kk in ("kela", "kelb", "kelc", "keld"):
+                kel[kk] = jnp.where(outside, 0.0, nn(self.f[kk]))
+        self._kel = kel
+        return FluidVars(rho=rho, p=p, bmag=bmag, u=u, b=b, rho2=rho,
+                         kela=kel.get("kela"))
+
+    def convert(self, fv_, sp):
+        """convert_fluidvars_harmpi (fluid.f90:1028-1072)."""
+        mdot_code = self.mdot_code if self.mdot_code is not None \
+            else pc.G * sp.mbh * pc.msun / pc.c ** 3
+        ncgs, bcgs, tempcgs, rhocgs = base.scale_sim_units(
+            sp.mbh, sp.mdot, mdot_code, fv_.rho, fv_.p, fv_.bmag)
+        if sp.gmin >= 1.0:
+            trat = base.monika_e(fv_.rho, fv_.p, fv_.bmag,
+                                 1.0 / sp.mu - 1.0,
+                                 sp.gmin * (1.0 / sp.mu - 1.0))
+            tempcgs = tempcgs / (1.0 + trat)
+        elif sp.gmin < 0.0:
+            which = {-1.0: "kela", -2.0: "kelb",
+                     -3.0: "kelc"}.get(sp.gmin, "keld")
+            kel = self._kel.get(which)
+            if kel is None:
+                raise ValueError("gmin<0 requires electron-entropy "
+                                 "fields (eHEAT/eCOND dumps)")
+            tempcgs = base.ressler_e(fv_.rho, kel)
+        else:
+            tempcgs = sp.mu * base.werner_e(fv_.rho, fv_.bmag) * tempcgs
+        ncgsnth = base.nonthermale_b2(
+            sp.jetalpha, max(sp.gmin, 1.0), sp.p1,
+            fv_.bmag ** 2 / jnp.maximum(fv_.rho, 1e-300), bcgs)
+        rhocgs, ncgs, tempcgs = base.sigma_cut(bcgs, rhocgs, tempcgs,
+                                               ncgs, sp.sigcut)
+        return EmisInputs(ncgs=ncgs, tcgs=tempcgs, bcgs=bcgs,
+                          ncgsnth=ncgsnth)

@@ -159,7 +159,63 @@ def calc_O(a, rho, dx):
     O_small = eno[..., None, None] \
         * (eye - Kpol * jnp.broadcast_to(dx, aI.shape)[..., None, None])
     O = jnp.where(degen[..., None, None], O_small, O)
+    # near-defective eigensystems (a2 ~ p2, ap ~ 0 with large depth):
+    # the M-matrices carry a2/theta >> 1 and the analytic combination
+    # loses its cancellation to roundoff, producing |O| >> 1 — a passive
+    # exp(-K dx) always has |O_ij| <= 1.  Fall back to scalar
+    # attenuation exp(-aI dx) there (correct leading physics; the
+    # polarized structure of such cells is numerically undefined).
+    bad = jnp.max(jnp.abs(O), axis=(-2, -1)) > 1.0 + 1e-6
+    O = jnp.where(bad[..., None, None], eno[..., None, None] * eye, O)
     return O
+
+
+def passivity_clamp(j, K):
+    """Clamp the polarized absorption magnitude to its Stokes-I bound:
+    physical coefficients satisfy |a_pol| <= a_I, but the synchrotron
+    fitting functions can violate it outside their validity domain
+    (extreme theta_e or nu/nu_c).  A violation turns the transfer
+    matrix into a GAIN medium — the matricant's largest eigenvalue
+    lam1 <= sqrt(aQ^2+aU^2+aV^2), so enforcing the bound guarantees
+    exp(-K dx) stays a contraction.  Emission enters affinely and
+    needs no clamp.  (The reference instead zeroes NaN coefficients
+    after the fact, polsynchemis.f90:763-777.)"""
+    aI = jnp.abs(K[..., :1])
+    ap = K[..., 1:4]
+    an = jnp.sqrt(jnp.sum(ap * ap, -1, keepdims=True))
+    # strictly interior: |a_pol| = a_I exactly makes K singular (the
+    # thick-cell source-function solve needs K invertible)
+    fa = jnp.minimum(1.0 - 1e-8, aI / jnp.maximum(an, 1e-300))
+    fa = jnp.where(an <= aI, 1.0, fa)
+    K = jnp.concatenate([K[..., :1], ap * fa, K[..., 4:]], -1)
+    return j, K
+
+
+def _cell_emission(O, ac, rc, jn, jf, dlam):
+    """Per-cell emission term p of the affine map I -> O I + p.
+
+    Thin/moderate cells: trapezoidal quadrature of int O(s) j(s) ds
+    (2nd order).  Optically thick cells (tau_cell > 0.3): the trapezoid
+    misses the source-function saturation (it gives ~dlam*j instead of
+    j/a), so use the EXACT constant-coefficient result
+    p = (I - O) K^{-1} j_mid, which saturates to S = K^{-1} j.  This is
+    how a photosphere-straddling cell stays correct at any depth."""
+    p_trap = 0.5 * dlam[..., None] * (
+        jnp.einsum("...ij,...j->...i", O, jf) + jn)
+    tau_c = jnp.abs(ac[..., 0]) * dlam
+    Km = opacity_matrix(ac, rc)
+    eye = jnp.eye(4)
+    # ridge keeps the solve nonsingular for thin/pure-rotation cells
+    # (those always take the trapezoid branch anyway)
+    ridge = 1e-30 + 1e-10 * jnp.abs(ac[..., 0])
+    Km = Km + ridge[..., None, None] * eye
+    S = jnp.linalg.solve(Km, (0.5 * (jn + jf))[..., None])[..., 0]
+    p_exact = S - jnp.einsum("...ij,...j->...i", O, S)
+    # ill-conditioned solves (|a_pol| -> a_I cells) can still round to
+    # non-finite: fall back to the trapezoid for those cells
+    ok = jnp.all(jnp.isfinite(p_exact), axis=-1, keepdims=True)
+    use_exact = (tau_c > 0.3)[..., None] & ok
+    return jnp.where(use_exact, jnp.where(ok, p_exact, 0.0), p_trap)
 
 
 def _compose(f, g):
@@ -233,6 +289,7 @@ def formal_solve(lam, j, K, mask=None, max_tau=MAX_TAU, I0=None, substeps=1):
     observer-side sample (reference convention).  substeps>1 subdivides
     each cell with linearly interpolated coefficients ('lsoda' mode).
     Returns (npix, npts, 4) Stokes profile (index 0 = observer)."""
+    j, K = passivity_clamp(j, K)
     a = K[..., 0:4]
     rho = K[..., 4:7]
     dlam = lam[..., 1:] - lam[..., :-1]               # (npix, ncell)
@@ -247,8 +304,7 @@ def formal_solve(lam, j, K, mask=None, max_tau=MAX_TAU, I0=None, substeps=1):
         O = calc_O(ac, rc, dlam)
         jn = j[..., :-1, :]
         jf = j[..., 1:, :]
-        p = 0.5 * dlam[..., None] * (
-            jnp.einsum("...ij,...j->...i", O, jf) + jn)
+        p = _cell_emission(O, ac, rc, jn, jf, dlam)
     else:
         # subdivide each cell; coefficients linearly interpolated
         fr = (jnp.arange(substeps) + 0.5) / substeps
@@ -260,13 +316,13 @@ def formal_solve(lam, j, K, mask=None, max_tau=MAX_TAU, I0=None, substeps=1):
             + j[..., 1:, None, :] * fr[:, None]
         dsub = dlam[..., None] / substeps                # (npix, ncell, 1)
         Os = calc_O(asub, rsub, dsub)
-        # trapezoidal emission on substep edges
+        # emission on substep edges
         fre = jnp.arange(substeps + 1) / substeps
         jedge = j[..., :-1, None, :] * (1 - fre)[:, None] \
             + j[..., 1:, None, :] * fre[:, None]
-        ps = 0.5 * dsub[..., None] * (
-            jnp.einsum("...ij,...j->...i", Os, jedge[..., 1:, :])
-            + jedge[..., :-1, :])
+        ps = _cell_emission(Os, asub, rsub, jedge[..., :-1, :],
+                            jedge[..., 1:, :],
+                            jnp.broadcast_to(dsub, asub[..., 0].shape))
         # compose substeps within each cell (far substep applied first);
         # shapes (npix, ncell, substeps, ...): scan over axis 2
         Osr = jnp.flip(Os, axis=2)
@@ -286,6 +342,7 @@ def _imatrix4(m):
 def delo_solve(lam, j, K, mask=None, max_tau=MAX_TAU, thin=THIN, I0=None):
     """DELO linear short-characteristics solver (reference iflag=1,
     :795-842) with the optically-thin Taylor branch (:746-793)."""
+    j, K = passivity_clamp(j, K)
     a = K[..., 0:4]
     rho = K[..., 4:7]
     aI = a[..., 0]
