@@ -27,6 +27,8 @@ class GrtransConfig:
     nrotype: int = 2
     gridvals: tuple = (-15.0, 15.0, -15.0, 15.0)  # a1,a2,b1,b2
     nn: tuple = (100, 100, 400)                    # nro,nphi,nup
+    i1: int = -1                # pixel subrange (1-based, read_inputs
+    i2: int = -1                # .f90:22-23); -1 = full camera
 
     # fluiddata
     fname: str = "THINDISK"

@@ -88,6 +88,14 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False):
     for mu0 in mus:
         cam = cam_mod.make_camera(a, float(mu0), a1, a2, b1, b2, nro, nphi,
                                   cfg.nrotype, cfg.rcut)
+        # i1/i2 pixel subrange (1-based inclusive, read_inputs.f90:22-23:
+        # debugging / by-hand range restarts)
+        if cfg.i1 > 0 or cfg.i2 > 0:
+            lo = max(cfg.i1 - 1, 0) if cfg.i1 > 0 else 0
+            hi = cfg.i2 if cfg.i2 > 0 else cam.alpha.shape[0]
+            cam = cam._replace(alpha=cam.alpha[lo:hi],
+                               beta=cam.beta[lo:hi], l=cam.l[lo:hi],
+                               q2=cam.q2[lo:hi], sm=cam.sm[lo:hi])
         if ab is None:
             ab = np.stack([np.asarray(cam.alpha), np.asarray(cam.beta)],
                           axis=0)

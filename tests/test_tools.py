@@ -1,0 +1,123 @@
+"""Namelist input files, CLI entry point, parameter iterator, and
+emitter-observer solver (reference L6 tool parity)."""
+
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from grtrans_tpu.config import GrtransConfig
+from grtrans_tpu.io import namelist as nml
+
+
+def test_parse_reference_dist_file():
+    """The shipped reference template must parse into a config 1:1."""
+    cfg = nml.read_inputs("/root/reference/inputs.in.dist")
+    assert cfg.fname == "HARM" and cfg.ename == "POLSYNCHTH"
+    assert cfg.standard == 1 and cfg.nmu == 1
+    assert cfg.spin == 0.9375 and cfg.uout == 0.04
+    assert cfg.gridvals == (-15, 15, -15, 15)
+    assert cfg.nn == (150, 150, 400)
+    assert cfg.i1 == 1 and cfg.i2 == 22500
+    assert cfg.mdotmin == 5e12 and cfg.mbh == 4e6
+    assert cfg.use_geokerr is True and cfg.iname == "lsoda"
+    assert cfg.epcoefindx == (1, 1, 1, 1, 1, 1, 1)
+    # harm group: f-prefixes stripped, filtered to Harm's kwargs
+    assert cfg.fargs["dfile"] == "dump"
+    assert cfg.fargs["hfile"] == "dump040"
+    assert "sim" not in cfg.fargs       # not a Harm dataclass field
+
+
+def test_namelist_roundtrip(tmp_path):
+    cfg = GrtransConfig(fname="POWERLAW", ename="POLSYNCHTH", nvals=4,
+                        spin=0.71, nn=(6, 5, 16), nfreq=2, fmin=1e11,
+                        fmax=2e11, iname="delo", stype="const",
+                        epcoefindx=(1, 1, 1, 1, 0, 0, 1),
+                        fargs=dict(n0=3e7, t0=6e10, beta=10.0))
+    p = tmp_path / "inputs.in"
+    nml.write_inputs(cfg, p)
+    cfg2 = nml.read_inputs(p)
+    for k in ("fname", "ename", "nvals", "spin", "nn", "nfreq", "fmin",
+              "fmax", "iname", "stype", "epcoefindx"):
+        assert getattr(cfg2, k) == getattr(cfg, k), k
+    assert cfg2.fargs == cfg.fargs
+
+
+def test_cli_end_to_end(tmp_path):
+    """python -m grtrans_tpu files.in -> reference-layout binary."""
+    cfg = GrtransConfig(fname="POWERLAW", ename="POLSYNCHTH", nvals=4,
+                        spin=0.9, standard=1, nn=(6, 6, 24),
+                        mumin=0.5, mumax=0.5, nmu=1, nfreq=1,
+                        fmin=2.3e11, fmax=2.3e11, iname="formal",
+                        mbh=4e6, gridvals=(-12.0, 12.0, -12.0, 12.0),
+                        fargs=dict(n0=3e7, t0=6e10, beta=10.0))
+    nml.write_inputs(cfg, tmp_path / "inputs.in")
+    nml.write_files_in(str(tmp_path / "inputs.in"),
+                       str(tmp_path / "out.bin"),
+                       tmp_path / "files.in")
+    r = subprocess.run([sys.executable, "-m", "grtrans_tpu",
+                        str(tmp_path / "files.in")],
+                       capture_output=True, text=True, timeout=600,
+                       cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    from grtrans_tpu.io.binio import read_camera_bin
+    ab, ivals_list, keys = read_camera_bin(tmp_path / "out.bin")
+    assert ab.shape == (36, 2) and len(ivals_list) == 1
+    I = ivals_list[0][:, 0]
+    assert np.isfinite(I).all() and I.max() > 0
+    assert abs(keys[0][0] - 2.3e11) / 2.3e11 < 1e-6
+
+
+def test_i1_i2_subrange():
+    from grtrans_tpu.orchestrator import grtrans_run
+    cfg = GrtransConfig(fname="POWERLAW", ename="POLSYNCHTH", nvals=4,
+                        spin=0.9, standard=1, nn=(6, 6, 24),
+                        mumin=0.5, mumax=0.5, nmu=1, nfreq=1,
+                        fmin=2.3e11, fmax=2.3e11, iname="formal",
+                        mbh=4e6, gridvals=(-12.0, 12.0, -12.0, 12.0),
+                        fargs=dict(n0=3e7, t0=6e10, beta=10.0))
+    full, ab_full, _ = grtrans_run(cfg)
+    import dataclasses
+    sub_cfg = dataclasses.replace(cfg, i1=7, i2=12)
+    sub, ab_sub, _ = grtrans_run(sub_cfg)
+    assert sub.shape[1] == 6
+    np.testing.assert_allclose(sub[0], full[0][6:12], rtol=1e-12)
+    np.testing.assert_allclose(ab_sub, ab_full[:, 6:12], rtol=1e-12)
+
+
+def test_pgriter_secant():
+    """Secant fit recovers the density that yields a target flux."""
+    from grtrans_tpu.tools import pgriter
+    cfg = GrtransConfig(fname="POWERLAW", ename="POLSYNCHTH", nvals=1,
+                        spin=0.9, standard=1, nn=(8, 8, 24),
+                        mumin=0.5, mumax=0.5, nmu=1, nfreq=1,
+                        fmin=2.3e11, fmax=2.3e11, iname="formal",
+                        mbh=4e6, gridvals=(-12.0, 12.0, -12.0, 12.0),
+                        fargs=dict(n0=3e7, t0=6e10, beta=10.0))
+    target_n0 = 9e6
+    target_flux, _ = pgriter.flux_at(cfg, target_n0, param="n0")
+    fitted, flux, hist = pgriter.fit_flux(cfg, target_flux, guess=5e7,
+                                          param="n0", tol=1e-3)
+    assert abs(np.log(flux / target_flux)) < 1e-3
+    # optically-thin synchrotron flux ~ n0, so the fit should land
+    # close to the generating parameter
+    assert abs(np.log(fitted / target_n0)) < 0.2
+    assert len(hist) <= 8
+
+
+def test_emitter_observer():
+    """Recover the (alpha, beta) whose ray hits a known emission point
+    (reference emitter_observer.run), using exact JAX gradients."""
+    from grtrans_tpu.tools import emitter_observer as eo
+    a, mu0 = 0.9, np.cos(np.deg2rad(45.0))
+    ustar = 1.0 / 8.0
+    ab_true = (4.1, 2.3)
+    mu_c, ph_c, ok = eo._point_at_u(a, mu0, jnp.asarray(ab_true[0]),
+                                    jnp.asarray(ab_true[1]), ustar)
+    assert bool(ok)
+    res = eo.run(ustar, float(mu_c), float(-ph_c),
+                 (ab_true[0] + 0.4, ab_true[1] - 0.4), a=a, mu0=mu0)
+    assert res.fun < 1e-6
+    np.testing.assert_allclose(res.x, ab_true, atol=0.05)
