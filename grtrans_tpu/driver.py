@@ -25,11 +25,15 @@ from grtrans_tpu.integrate import solvers
 from grtrans_tpu.fluid.base import EmisInputs, SourceParams
 
 
-def calc_emissivity(ename, nu, ei: EmisInputs, ang, cosne, sp: SourceParams):
+def calc_emissivity(ename, nu, ei: EmisInputs, ang, cosne, sp: SourceParams,
+                    gmin=None):
     """Dispatch by emissivity name (reference emis.f90:461-571).
 
-    Returns the (npix, npts, 11) coefficient block."""
+    gmin overrides sp.gmin (per-sample array from the stype='tail'
+    model).  Returns the (npix, npts, 11) coefficient block."""
     ename = ename.upper()
+    if gmin is None:
+        gmin = sp.gmin
     if ename == "POLSYNCHTH":
         return polsynch.polsynchth(nu, ei.ncgs, ei.bcgs, ei.tcgs, ang)
     if ename == "SYMPOLTH":
@@ -40,14 +44,14 @@ def calc_emissivity(ename, nu, ei: EmisInputs, ang, cosne, sp: SourceParams):
         return polsynch.synchemisnoabs(nu, ei.ncgs, ei.bcgs, ei.tcgs)
     if ename == "POLSYNCHPL":
         return pl_mod.polsynchpl(nu, ei.ncgsnth, ei.bcgs, ang, sp.p1,
-                                 sp.gmin, sp.gmax)
+                                 gmin, sp.gmax)
     if ename == "SYNCHPL":
         return pl_mod.synchpl(nu, ei.ncgsnth, ei.bcgs, ang, sp.p1,
-                              sp.gmin, sp.gmax)
+                              gmin, sp.gmax)
     if ename == "HYBRIDTHPL":
         return (polsynch.polsynchth(nu, ei.ncgs, ei.bcgs, ei.tcgs, ang)
                 + pl_mod.polsynchpl(nu, ei.ncgsnth, ei.bcgs, ang, sp.p1,
-                                    sp.gmin, sp.gmax))
+                                    gmin, sp.gmax))
     if ename == "BB":
         return bb.bbemis(nu, ei.tcgs)
     if ename == "FBB":
@@ -188,10 +192,15 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
             geo.k)
         chI, chd = interp_chandra(cosne2)
 
+    # stype='tail': per-sample gamma_min + nonthermal density from the
+    # thermal population (reference fluid.f90:1641-1678)
+    from grtrans_tpu.fluid.base import apply_source_params
+    ei, gmin_eff = apply_source_params(ei, sp)
+
     out = []
     for fghz in freqs:
         nu = fghz / g
-        e = calc_emissivity(ename, nu, ei, ang, cosne, sp)
+        e = calc_emissivity(ename, nu, ei, ang, cosne, sp, gmin=gmin_eff)
         if sp.coefindx is not None:
             # zero de-selected absorption/rotation coefficients
             # (emis.f90:557-558 usecoefs; epcoefindx in pgrtrans.f90:19)

@@ -159,6 +159,32 @@ def calc_gmin(p, thetae, eta):
     return gmin, nfrac
 
 
+def apply_source_params(ei: "EmisInputs", sp: "SourceParams"):
+    """Apply the stype gamma_min model to the converted emissivity inputs
+    (reference assign_source_params, fluid.f90:1641-1678): for
+    stype='tail' the nonthermal population is a per-sample tail of the
+    thermal one — calc_gmin's fitting formulas give gamma_min(theta_e)
+    and the number fraction, which REPLACE the model's ncgsnth.
+
+    Returns (ei, gmin) where gmin is the (broadcastable) per-sample
+    cutoff to feed the power-law kernels.  CONST passes through."""
+    if sp.stype != TAIL:
+        return ei, sp.gmin
+    # the reference feeds mu*k*tcgs/m/c^2 (tcgs is pre-mu-correction)
+    thetae = sp.mu * pc.k * ei.tcgs / (pc.m * pc.c2)
+    gmin, nfrac = calc_gmin(sp.p2, thetae, sp.jetalpha)
+    over = gmin > sp.gmax
+    gmin_used = jnp.where(over, sp.gmax / 2.0, gmin)
+    # gmin clamped from above: fold the lost tail into the density
+    # (the 1-p normalization is already applied; p-2 remains)
+    factor = jnp.where(over,
+                       (sp.gmax / 2.0 / jnp.where(over, gmin, 1.0))
+                       ** (sp.p2 - 2.0), 1.0)
+    ncgsnth = factor * jnp.where(
+        nfrac > 0.0, nfrac * ei.ncgs * gmin_used ** (1.0 - sp.p2), 0.0)
+    return ei._replace(ncgsnth=ncgsnth), gmin_used
+
+
 def toroidal_b(g_cov, u, bmag):
     """Purely toroidal magnetic four-vector with |b| = bmag, b.u = 0
     (construction used by SARIAF/POWERLAW/TOY, fluid.f90:1404-1416)."""

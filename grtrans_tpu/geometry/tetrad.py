@@ -140,7 +140,12 @@ def comoving_ortho(r, th, a, alpha, beta, mus, u, b, k):
     c2xi = jnp.where(ok, (bpdotbb ** 2 - aadotbp ** 2) / safenrm, 1.0)
     angnorm = jnp.where(ok, bdotk / sk / safe_sqrt(jnp.where(ok, bdotb, 1.0)),
                         0.5)
-    ang = jnp.arccos(jnp.clip(angnorm, -0.99, 0.99))
+    # clamp just inside +-1: roundoff can push |cos| over 1, and arccos'
+    # gradient diverges at the endpoints (1e-8 keeps d(acos)/dx <= ~7e3,
+    # finite for autodiff).  The reference's comoving_ortho_core clips at
+    # +-0.99 (kerr.f90:618,719) which silently floors the pitch angle at
+    # ~8 deg for near-field-aligned rays; we keep the true angle.
+    ang = jnp.arccos(jnp.clip(angnorm, -1.0 + 1e-8, 1.0 - 1e-8))
     g = 1.0 / kt_safe
     cosne = g * safe_sqrt(
         beta * beta + mus * mus * (alpha * alpha - a * a)) / r

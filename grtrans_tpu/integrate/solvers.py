@@ -7,6 +7,14 @@ composes the per-cell maps with jax.lax.associative_scan — the sequential
 Fortran marching loops (:795-876) become log-depth parallel scans batched
 over all pixels, which is this workload's analogue of ring attention.
 
+TPU layout: all 4x4 Mueller matrices are stored with the MATRIX indices
+LEADING and the (npix, ncell) batch TRAILING — shape (4, 4, npix, ncell).
+TPU memory tiles the two minor-most axes to (8, 128): a (npix, ncell, 4, 4)
+array pads 32x (the round-1 HBM OOM), while (4, 4, npix, ncell) pads
+nothing and every 4x4 algebra op is a handful of perfectly-shaped VPU
+elementwise ops.  Matrix products are einsums over the two small leading
+axes, which XLA unrolls and fuses.
+
 Methods (iname parity with rad_trans.f90:29-37):
   * 'formal' (iflag=2): per-cell ANALYTIC matrix exponential of the
     constant-coefficient opacity matrix via the Landi Degl'Innocenti 1985
@@ -20,7 +28,11 @@ Methods (iname parity with rad_trans.f90:29-37):
     run_grtrans_test_problems_public.py:88-107).
   * 'quadrature': unpolarized I = int j exp(-tau) (reference :878-882).
 
-Conventions: arrays are (npix, npts, ...) ordered along the TRACE
+All 4x4 linear algebra is closed-form (adjugate inverse = the math of
+the reference's imatrix_4, radtrans_integrate.f90:685-733): XLA's
+LuDecomposition does not exist for f64 on TPU and would serialize anyway.
+
+Conventions: public arrays are (npix, npts, ...) ordered along the TRACE
 (index 0 = observer); lam increases along the trace; the photon
 propagates from index npts-1 toward 0.  K columns are
 [aI aQ aU aV rhoQ rhoU rhoV] (emis.f90:20-30).  MAX_TAU truncation
@@ -37,76 +49,106 @@ MAX_TAU = 10.0
 THIN = 1e-2
 
 
+def _fin(x):
+    return jnp.finfo(jnp.result_type(x))
+
+
+def _m4(rows):
+    """Build a (4, 4, *batch) matrix from 4 rows of 4 batch arrays."""
+    return jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
+
+
+def _eye4(like):
+    """Identity broadcastable against a (4, 4, *batch) matrix."""
+    return jnp.eye(4, dtype=like.dtype).reshape((4, 4) + (1,) *
+                                                (like.ndim - 2))
+
+
+def _mm(A, B):
+    """(4,4,*b) @ (4,k,*b) matrix product over the leading indices."""
+    return jnp.einsum("ik...,kj...->ij...", A, B)
+
+
+def _opac_m4(a, rho):
+    """(4, 4, *batch) Mueller opacity matrix from component tuples
+    a=(aI,aQ,aU,aV), rho=(rhoQ,rhoU,rhoV).  radtrans_integrate.f90:735-744."""
+    aI, aQ, aU, aV = a
+    rQ, rU, rV = rho
+    return _m4([
+        [aI, aQ, aU, aV],
+        [aQ, aI, rV, -rU],
+        [aU, -rV, aI, rQ],
+        [aV, rU, -rQ, aI],
+    ])
+
+
 def opacity_matrix(a, rho):
-    """(..., 4, 4) Mueller opacity matrix from a=[aI aQ aU aV],
-    rho=[rhoQ rhoU rhoV].  radtrans_integrate.f90:735-744."""
-    aI, aQ, aU, aV = (a[..., i] for i in range(4))
-    rQ, rU, rV = (rho[..., i] for i in range(3))
-    z = jnp.zeros_like(aI)
-    rows = [
-        jnp.stack([aI, aQ, aU, aV], axis=-1),
-        jnp.stack([aQ, aI, rV, -rU], axis=-1),
-        jnp.stack([aU, -rV, aI, rQ], axis=-1),
-        jnp.stack([aV, rU, -rQ, aI], axis=-1),
-    ]
-    _ = z
-    return jnp.stack(rows, axis=-2)
+    """Public-layout (..., 4, 4) Mueller opacity matrix from
+    a=[aI aQ aU aV], rho=[rhoQ rhoU rhoV]."""
+    m = _opac_m4(tuple(a[..., i] for i in range(4)),
+                 tuple(rho[..., i] for i in range(3)))
+    return jnp.moveaxis(m, (0, 1), (-2, -1))
 
 
-def calc_O(a, rho, dx):
+def _calc_O(a, rho, dx):
     """Analytic matrix exponential exp(-K dx) of the constant opacity
     matrix (Landi Degl'Innocenti 1985).  radtrans_integrate.f90:615-683,
-    rewritten in overflow-safe exponential form."""
-    aI = a[..., 0]
+    rewritten in overflow-safe exponential form.
+
+    a: 4-tuple, rho: 3-tuple of batch arrays; dx batch array.
+    Returns (4, 4, *batch)."""
+    aI = a[0]
+    fin = _fin(aI)
+    tiny = fin.tiny
+    seps = fin.eps
     # near-degenerate cells (lam*dx tiny, including the a2 ~ p2, ap ~ 0
     # cancellation where theta << a2+p2): the eigen-decomposition's 1/theta
     # terms are a removable singularity — numerically they overflow and
     # poison the backward pass (0 * inf cotangents) — so those cells (i)
     # use the first-order expansion exp(-K dx) ~ e^(-aI dx)(I - K_pol dx)
-    # (error O((lam dx)^2) < 1e-14) and (ii) feed SANITIZED dummy
-    # coefficients through the eigen path so no non-finite primal or
-    # cotangent ever exists.
+    # (error O((lam dx)^2), below working precision) and (ii) feed
+    # SANITIZED dummy coefficients through the eigen path so no
+    # non-finite primal or cotangent ever exists.
+
     def lam12(aq, au, av, rq, ru, rv):
         a2 = aq ** 2 + au ** 2 + av ** 2
         p2 = rq ** 2 + ru ** 2 + rv ** 2
         ap = aq * rq + au * ru + av * rv
         # regularized sqrts: the eigenvalues have genuine kinks at pure
         # -rotation / pure-absorption cells (lam -> 0); the tiny relative
-        # epsilon (1e-24 ~ double roundoff squared) keeps the gradients
-        # finite with negligible (<=1e-12 relative) eigenvalue error
-        scale = 1e-24 * (a2 + p2) + 1e-300
+        # epsilon (~roundoff^1.5) keeps the gradients finite with
+        # negligible eigenvalue error
+        scale = seps ** 1.5 * (a2 + p2) + tiny
         rt = jnp.sqrt((a2 - p2) ** 2 / 4.0 + ap ** 2 + scale * scale)
         lam1 = jnp.sqrt(jnp.maximum(rt + (a2 - p2) / 2.0, 0.0) + scale)
         lam2 = jnp.sqrt(jnp.maximum(rt - (a2 - p2) / 2.0, 0.0) + scale)
         return a2, p2, ap, lam1, lam2
 
-    _, _, _, l1_0, l2_0 = lam12(*(jax.lax.stop_gradient(a[..., i])
-                                  for i in range(1, 4)),
-                                *(jax.lax.stop_gradient(rho[..., i])
-                                  for i in range(3)))
-    degen = (l1_0 * jnp.abs(dx) < 1e-7) & (l2_0 * jnp.abs(dx) < 1e-7)
+    _, _, _, l1_0, l2_0 = lam12(*(jax.lax.stop_gradient(c)
+                                  for c in a[1:] + rho))
+    dthr = 10.0 * jnp.sqrt(seps)
+    degen = (l1_0 * jnp.abs(dx) < dthr) & (l2_0 * jnp.abs(dx) < dthr)
 
-    aq = jnp.where(degen, 1.0, a[..., 1])
-    au = jnp.where(degen, 0.0, a[..., 2])
-    av = jnp.where(degen, 0.0, a[..., 3])
-    rhoq = jnp.where(degen, 0.0, rho[..., 0])
-    rhou = jnp.where(degen, 0.0, rho[..., 1])
-    rhov = jnp.where(degen, 0.0, rho[..., 2])
+    aq = jnp.where(degen, 1.0, a[1])
+    au = jnp.where(degen, 0.0, a[2])
+    av = jnp.where(degen, 0.0, a[3])
+    rhoq = jnp.where(degen, 0.0, rho[0])
+    rhou = jnp.where(degen, 0.0, rho[1])
+    rhov = jnp.where(degen, 0.0, rho[2])
     a2, p2, ap, lam1, lam2 = lam12(aq, au, av, rhoq, rhou, rhov)
     theta = lam1 ** 2 + lam2 ** 2
-    theta_s = jnp.where(theta > 1e-300, theta, 1.0)
+    # sqrt(tiny) floor: see delo_solve — theta^2 must not underflow in
+    # the divide VJP
+    ith = 1.0 / jnp.where(theta > jnp.sqrt(tiny), theta, 1.0)
     sig = jnp.sign(ap)
     sig = jnp.where(sig == 0.0, 1.0, sig)
 
     z = jnp.zeros_like(aI)
 
-    def mat(rows):
-        return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
-
-    # reference M2/M3/M4 are written column-major (M2(i,j) = row i, col j);
-    # both are symmetric-with-antisymmetric parts as below (transcribed
-    # row-wise from :634-680)
-    M2 = mat([
+    # reference M2/M3/M4 (transcribed row-wise from :634-680); the 1/theta
+    # normalization is folded into the scalar combination coefficients so
+    # each M is built once
+    M2 = _m4([
         [z, lam2 * aq - sig * lam1 * rhoq, lam2 * au - sig * lam1 * rhou,
          lam2 * av - sig * lam1 * rhov],
         [lam2 * aq - sig * lam1 * rhoq, z, sig * lam1 * av + lam2 * rhov,
@@ -115,8 +157,8 @@ def calc_O(a, rho, dx):
          sig * lam1 * aq + lam2 * rhoq],
         [lam2 * av - sig * lam1 * rhov, sig * lam1 * au + lam2 * rhou,
          -sig * lam1 * aq - lam2 * rhoq, z],
-    ]) / theta_s[..., None, None]
-    M3 = mat([
+    ])
+    M3 = _m4([
         [z, lam1 * aq + sig * lam2 * rhoq, lam1 * au + sig * lam2 * rhou,
          lam1 * av + sig * lam2 * rhov],
         [lam1 * aq + sig * lam2 * rhoq, z, -sig * lam2 * av + lam1 * rhov,
@@ -125,9 +167,9 @@ def calc_O(a, rho, dx):
          -sig * lam2 * aq + lam1 * rhoq],
         [lam1 * av + sig * lam2 * rhov, -sig * lam2 * au + lam1 * rhou,
          sig * lam2 * aq - lam1 * rhoq, z],
-    ]) / theta_s[..., None, None]
+    ])
     hp = (a2 + p2) / 2.0
-    M4 = mat([
+    M4 = _m4([
         [hp, av * rhou - au * rhov, aq * rhov - av * rhoq,
          au * rhoq - aq * rhou],
         [au * rhov - av * rhou, aq * aq + rhoq * rhoq - hp,
@@ -136,38 +178,45 @@ def calc_O(a, rho, dx):
          au * au + rhou * rhou - hp, au * av + rhou * rhov],
         [aq * rhou - au * rhoq, av * aq + rhov * rhoq,
          au * av + rhou * rhov, av * av + rhov * rhov - hp],
-    ]) * (2.0 / theta_s)[..., None, None]
+    ])
 
     # overflow-safe combinations of exp(-aI dx) with cosh/sinh(lam1 dx);
     # physically lam1 <= aI so the first argument is <= 0, but clip both
     # (roundoff / sanitized-dummy cells) so exp never produces inf
-    arg_p = jnp.clip((lam1 - aI) * dx, -745.0, 60.0)
-    arg_m = jnp.clip(-(lam1 + aI) * dx, -745.0, 60.0)
+    import math
+    lo = -0.95 * math.log(float(fin.max))
+    arg_p = jnp.clip((lam1 - aI) * dx, lo, 60.0)
+    arg_m = jnp.clip(-(lam1 + aI) * dx, lo, 60.0)
     ecp = 0.5 * (jnp.exp(arg_p) + jnp.exp(arg_m))
     ecm = 0.5 * (jnp.exp(arg_p) - jnp.exp(arg_m))
-    eno = jnp.exp(jnp.clip(-aI * dx, -745.0, 60.0))
+    eno = jnp.exp(jnp.clip(-aI * dx, lo, 60.0))
     cs = jnp.cos(lam2 * dx) * eno
     sn = jnp.sin(lam2 * dx) * eno
-    eye = jnp.eye(4)
-    O = (0.5 * (ecp + cs)[..., None, None] * eye
-         - sn[..., None, None] * M2
-         - ecm[..., None, None] * M3
-         + 0.5 * (ecp - cs)[..., None, None] * M4)
-    z = jnp.zeros_like(aI)
-    Kpol = opacity_matrix(
-        jnp.stack([z, a[..., 1], a[..., 2], a[..., 3]], axis=-1), rho)
-    O_small = eno[..., None, None] \
-        * (eye - Kpol * jnp.broadcast_to(dx, aI.shape)[..., None, None])
-    O = jnp.where(degen[..., None, None], O_small, O)
+    eye = _eye4(M2)
+    O = (0.5 * (ecp + cs) * eye
+         - (sn * ith) * M2
+         - (ecm * ith) * M3
+         + (ecp - cs) * ith * M4)
+    Kpol = _opac_m4((z, a[1], a[2], a[3]), rho)
+    O_small = eno * (eye - Kpol * dx)
+    O = jnp.where(degen, O_small, O)
     # near-defective eigensystems (a2 ~ p2, ap ~ 0 with large depth):
     # the M-matrices carry a2/theta >> 1 and the analytic combination
     # loses its cancellation to roundoff, producing |O| >> 1 — a passive
     # exp(-K dx) always has |O_ij| <= 1.  Fall back to scalar
     # attenuation exp(-aI dx) there (correct leading physics; the
     # polarized structure of such cells is numerically undefined).
-    bad = jnp.max(jnp.abs(O), axis=(-2, -1)) > 1.0 + 1e-6
-    O = jnp.where(bad[..., None, None], eno[..., None, None] * eye, O)
+    bad = jnp.max(jnp.abs(O), axis=(0, 1)) > 1.0 + 1e-6
+    O = jnp.where(bad, eno * eye, O)
     return O
+
+
+def calc_O(a, rho, dx):
+    """Public-layout wrapper: a (..., 4), rho (..., 3), dx (...) ->
+    exp(-K dx) with shape (..., 4, 4)."""
+    m = _calc_O(tuple(a[..., i] for i in range(4)),
+                tuple(rho[..., i] for i in range(3)), dx)
+    return jnp.moveaxis(m, (0, 1), (-2, -1))
 
 
 def passivity_clamp(j, K):
@@ -179,20 +228,97 @@ def passivity_clamp(j, K):
     lam1 <= sqrt(aQ^2+aU^2+aV^2), so enforcing the bound guarantees
     exp(-K dx) stays a contraction.  Emission enters affinely and
     needs no clamp.  (The reference instead zeroes NaN coefficients
-    after the fact, polsynchemis.f90:763-777.)"""
+    after the fact, polsynchemis.f90:763-777.)
+
+    Gradient-safe by construction: the sqrt/divide chain only ever sees
+    values from cells that actually violate the bound (double-where), so
+    zeroed/masked cells (aI=0, a_pol=0) produce exactly-zero — never
+    NaN — cotangents."""
     aI = jnp.abs(K[..., :1])
     ap = K[..., 1:4]
-    an = jnp.sqrt(jnp.sum(ap * ap, -1, keepdims=True))
+    an2 = jnp.sum(ap * ap, -1, keepdims=True)
     # strictly interior: |a_pol| = a_I exactly makes K singular (the
     # thick-cell source-function solve needs K invertible)
-    fa = jnp.minimum(1.0 - 1e-8, aI / jnp.maximum(an, 1e-300))
-    fa = jnp.where(an <= aI, 1.0, fa)
+    bound = (1.0 - 1e-8) * aI
+    viol = an2 > bound * bound
+    # viol implies an2 > 0, so the sanitized sqrt/div below are smooth
+    an = jnp.sqrt(jnp.where(viol, an2, 1.0))
+    fa = jnp.where(viol, bound / jnp.where(viol, an, 1.0), 1.0)
     K = jnp.concatenate([K[..., :1], ap * fa, K[..., 4:]], -1)
     return j, K
 
 
+def _inv4(m):
+    """Batched closed-form 4x4 inverse via the adjugate (math of the
+    reference's imatrix_4, radtrans_integrate.f90:685-733) — pure
+    mul/add so it compiles on TPU in any dtype (XLA's LuDecomposition
+    rejects f64) and fuses instead of serializing a factorization.
+
+    m: (4, 4, *batch).  Returns (inv, good): `good` flags cells whose
+    determinant is large enough for the division to be trustworthy; on
+    !good cells the division is fed a sanitized determinant so the
+    result (and its cotangent) stays finite — callers mask with good."""
+    def e(i, k):
+        return m[i, k]
+    s0 = e(0, 0) * e(1, 1) - e(1, 0) * e(0, 1)
+    s1 = e(0, 0) * e(1, 2) - e(1, 0) * e(0, 2)
+    s2 = e(0, 0) * e(1, 3) - e(1, 0) * e(0, 3)
+    s3 = e(0, 1) * e(1, 2) - e(1, 1) * e(0, 2)
+    s4 = e(0, 1) * e(1, 3) - e(1, 1) * e(0, 3)
+    s5 = e(0, 2) * e(1, 3) - e(1, 2) * e(0, 3)
+    c5 = e(2, 2) * e(3, 3) - e(3, 2) * e(2, 3)
+    c4 = e(2, 1) * e(3, 3) - e(3, 1) * e(2, 3)
+    c3 = e(2, 1) * e(3, 2) - e(3, 1) * e(2, 2)
+    c2 = e(2, 0) * e(3, 3) - e(3, 0) * e(2, 3)
+    c1 = e(2, 0) * e(3, 2) - e(3, 0) * e(2, 2)
+    c0 = e(2, 0) * e(3, 1) - e(3, 0) * e(2, 1)
+    det = s0 * c5 - s1 * c4 + s2 * c3 + s3 * c2 - s4 * c1 + s5 * c0
+    adj = _m4([
+        [e(1, 1) * c5 - e(1, 2) * c4 + e(1, 3) * c3,
+         -e(0, 1) * c5 + e(0, 2) * c4 - e(0, 3) * c3,
+         e(3, 1) * s5 - e(3, 2) * s4 + e(3, 3) * s3,
+         -e(2, 1) * s5 + e(2, 2) * s4 - e(2, 3) * s3],
+        [-e(1, 0) * c5 + e(1, 2) * c2 - e(1, 3) * c1,
+         e(0, 0) * c5 - e(0, 2) * c2 + e(0, 3) * c1,
+         -e(3, 0) * s5 + e(3, 2) * s2 - e(3, 3) * s1,
+         e(2, 0) * s5 - e(2, 2) * s2 + e(2, 3) * s1],
+        [e(1, 0) * c4 - e(1, 1) * c2 + e(1, 3) * c0,
+         -e(0, 0) * c4 + e(0, 1) * c2 - e(0, 3) * c0,
+         e(3, 0) * s4 - e(3, 1) * s2 + e(3, 3) * s0,
+         -e(2, 0) * s4 + e(2, 1) * s2 - e(2, 3) * s0],
+        [-e(1, 0) * c3 + e(1, 1) * c1 - e(1, 2) * c0,
+         e(0, 0) * c3 - e(0, 1) * c1 + e(0, 2) * c0,
+         -e(3, 0) * s3 + e(3, 1) * s1 - e(3, 2) * s0,
+         e(2, 0) * s3 - e(2, 1) * s1 + e(2, 2) * s0],
+    ])
+    # conditioning gate: |det| must not be vanishing relative to the
+    # adjugate's scale (inv = adj/det), else the division overflows
+    scale = jnp.max(jnp.abs(adj), axis=(0, 1))
+    good = jnp.abs(det) > 1e-12 * scale + _fin(det).tiny
+    det_safe = jnp.where(good, det, 1.0)
+    return adj / det_safe, good
+
+
+def inv4(m):
+    """Public-layout (..., 4, 4) closed-form inverse.  Returns
+    (inv, good) as in _inv4."""
+    inv, good = _inv4(jnp.moveaxis(m, (-2, -1), (0, 1)))
+    return jnp.moveaxis(inv, (0, 1), (-2, -1)), good
+
+
+def _imatrix4(m):
+    """Closed-form 4x4 inverse (reference imatrix_4); ill-conditioned
+    cells fall back to the identity (they are optically pathological
+    and already masked or thin-branched).  (4, 4, *batch) layout."""
+    inv, good = _inv4(m)
+    return jnp.where(good, inv, _eye4(m))
+
+
 def _cell_emission(O, ac, rc, jn, jf, dlam):
     """Per-cell emission term p of the affine map I -> O I + p.
+
+    O (4,4,*b); ac (4,*b), rc (3,*b) component stacks; jn/jf (4,1,*b)
+    near/far emission column vectors; dlam (*b).  Returns p (4,1,*b).
 
     Thin/moderate cells: trapezoidal quadrature of int O(s) j(s) ds
     (2nd order).  Optically thick cells (tau_cell > 0.3): the trapezoid
@@ -200,65 +326,71 @@ def _cell_emission(O, ac, rc, jn, jf, dlam):
     j/a), so use the EXACT constant-coefficient result
     p = (I - O) K^{-1} j_mid, which saturates to S = K^{-1} j.  This is
     how a photosphere-straddling cell stays correct at any depth."""
-    p_trap = 0.5 * dlam[..., None] * (
-        jnp.einsum("...ij,...j->...i", O, jf) + jn)
-    tau_c = jnp.abs(ac[..., 0]) * dlam
-    Km = opacity_matrix(ac, rc)
-    eye = jnp.eye(4)
-    # ridge keeps the solve nonsingular for thin/pure-rotation cells
-    # (those always take the trapezoid branch anyway)
-    ridge = 1e-30 + 1e-10 * jnp.abs(ac[..., 0])
-    Km = Km + ridge[..., None, None] * eye
-    S = jnp.linalg.solve(Km, (0.5 * (jn + jf))[..., None])[..., 0]
-    p_exact = S - jnp.einsum("...ij,...j->...i", O, S)
-    # ill-conditioned solves (|a_pol| -> a_I cells) can still round to
-    # non-finite: fall back to the trapezoid for those cells
-    ok = jnp.all(jnp.isfinite(p_exact), axis=-1, keepdims=True)
-    use_exact = (tau_c > 0.3)[..., None] & ok
-    return jnp.where(use_exact, jnp.where(ok, p_exact, 0.0), p_trap)
+    p_trap = 0.5 * dlam * (_mm(O, jf) + jn)
+    tau_c = jnp.abs(ac[0]) * dlam
+    # normalize the solve by the LARGEST coefficient magnitude so matrix
+    # entries are <= 1 regardless of units (normalizing by aI alone
+    # overflows the adjugate's cubic products when Faraday rotation
+    # dwarfs absorption: |rho|/aI can exceed 1e100 at masked/zeroed
+    # cells, and inf primals leak NaN cotangents through jnp.where).
+    # S = K^{-1} j = (K/s)^{-1} (j/s).  sqrt(tiny) floor: tiny^2
+    # underflows in the divide VJP (NaN grads).
+    mags = [jnp.abs(c) for c in tuple(ac) + tuple(rc)]
+    s = mags[0]
+    for m_ in mags[1:]:
+        s = jnp.maximum(s, m_)
+    s = jnp.maximum(s, _fin(ac[0]).tiny ** 0.5)
+    ia0 = 1.0 / s
+    Kn = _opac_m4(tuple(c * ia0 for c in ac), tuple(c * ia0 for c in rc))
+    iK, inv_ok = _inv4(Kn)
+    S = _mm(iK, 0.5 * (jn + jf) * ia0)
+    p_exact = S - _mm(O, S)
+    use_exact = (tau_c > 0.3) & inv_ok
+    return jnp.where(use_exact, p_exact, p_trap)
 
 
 def _compose(f, g):
-    """Affine map composition: (f after g) for f=(A2,b2), g=(A1,b1)."""
+    """Affine map composition: (f after g) for f=(A2,b2), g=(A1,b1);
+    matrices (4,4,*b), translations (4,1,*b)."""
     A2, b2 = f
     A1, b1 = g
-    A = jnp.einsum("...ij,...jk->...ik", A2, A1)
-    b = jnp.einsum("...ij,...j->...i", A2, b1) + b2
-    return A, b
+    return _mm(A2, A1), _mm(A2, b1) + b2
 
 
 def _mask_cells(O, p, mask):
     """Replace masked-out cells with the identity affine map."""
-    eye = jnp.broadcast_to(jnp.eye(4), O.shape)
-    O = jnp.where(mask[..., None, None], O, eye)
-    p = jnp.where(mask[..., None], p, 0.0)
+    O = jnp.where(mask, O, _eye4(O))
+    p = jnp.where(mask, p, 0.0)
     return O, p
 
 
 def _scan_to_observer(O, p, I0=None):
-    """Compose per-cell affine maps from the far end (index ncell-1)
-    toward the observer (index 0) with an associative scan.
+    """Compose per-cell affine maps from the far end (cell ncell-1)
+    toward the observer (cell 0) with an associative scan.
 
-    Returns the Stokes profile (npix, npts, 4): entry i is the intensity
-    at sample i after propagating from the far end; entry 0 is the
-    observed intensity."""
-    # order cells first-applied-first: reverse along the point axis
-    # (shapes: O (npix, ncell, 4, 4), p (npix, ncell, 4); the scan axis
-    # must be given as the same positive index for both leaves)
-    Or = jnp.flip(O, axis=1)
-    pr = jnp.flip(p, axis=1)
-    A, b = jax.lax.associative_scan(_compose, (Or, pr), axis=1)
+    O (4,4,npix,ncell), p (4,1,npix,ncell).  Returns the Stokes profile
+    (npix, npts, 4): entry i is the intensity at sample i after
+    propagating from the far end; entry 0 is the observed intensity."""
+    # order cells first-applied-first: reverse along the cell axis
+    Or = jnp.flip(O, axis=-1)
+    pr = jnp.flip(p, axis=-1)
+    A, b = jax.lax.associative_scan(_compose, (Or, pr), axis=O.ndim - 1)
     if I0 is None:
-        prof = b
+        prof = b[:, 0]                                   # (4, npix, ncell)
     else:
-        prof = jnp.einsum("...ij,...j->...i", A, I0) + b
-    # prof[m] = intensity after the first m+1 cells (far -> near);
-    # intensity at sample i (i=0 observer) = prof[ncell-1-i]; at the far
-    # sample (i=npts-1) it is I0 (zeros).
-    prof = jnp.flip(prof, axis=1)
-    far = jnp.zeros_like(prof[..., :1, :]) if I0 is None \
-        else jnp.broadcast_to(I0, prof[..., :1, :].shape)
-    return jnp.concatenate([prof, far], axis=-2)
+        I0 = jnp.asarray(I0)
+        I0c = jnp.broadcast_to(jnp.moveaxis(jnp.atleast_2d(I0), -1, 0)
+                               [:, None, :, None],
+                               b.shape[:3] + (1,))       # (4,1,npix,1)
+        prof = (_mm(A, I0c) + b)[:, 0]
+    # prof[..., m] = intensity after the first m+1 cells (far -> near);
+    # intensity at sample i (i=0 observer) = prof[..., ncell-1-i]; at the
+    # far sample (i=npts-1) it is I0 (zeros).
+    prof = jnp.flip(prof, axis=-1)
+    far = jnp.zeros_like(prof[..., :1]) if I0 is None \
+        else jnp.broadcast_to(I0c[:, 0], prof[..., :1].shape)
+    prof = jnp.concatenate([prof, far], axis=-1)         # (4, npix, npts)
+    return jnp.moveaxis(prof, 0, -1)
 
 
 def _cell_tau_mask(lam, K, mask, max_tau):
@@ -290,52 +422,47 @@ def formal_solve(lam, j, K, mask=None, max_tau=MAX_TAU, I0=None, substeps=1):
     each cell with linearly interpolated coefficients ('lsoda' mode).
     Returns (npix, npts, 4) Stokes profile (index 0 = observer)."""
     j, K = passivity_clamp(j, K)
-    a = K[..., 0:4]
-    rho = K[..., 4:7]
-    dlam = lam[..., 1:] - lam[..., :-1]               # (npix, ncell)
+    # component-first layout: (4, npix, npts) / (3, npix, npts)
+    a = jnp.moveaxis(K[..., 0:4], -1, 0)
+    rho = jnp.moveaxis(K[..., 4:7], -1, 0)
+    jc = jnp.moveaxis(j, -1, 0)[:, None]                 # (4,1,npix,npts)
+    dlam = lam[..., 1:] - lam[..., :-1]                  # (npix, ncell)
     tau, cell_ok = _cell_tau_mask(lam, K, mask, max_tau)
 
     if substeps == 1:
         # midpoint opacity + trapezoidal emission: 2nd order per cell
         # (the reference uses the observer-side sample and is 1st order,
         # radtrans_integrate.f90:869)
-        ac = 0.5 * (a[..., :-1, :] + a[..., 1:, :])
-        rc = 0.5 * (rho[..., :-1, :] + rho[..., 1:, :])
-        O = calc_O(ac, rc, dlam)
-        jn = j[..., :-1, :]
-        jf = j[..., 1:, :]
+        ac = 0.5 * (a[..., :-1] + a[..., 1:])
+        rc = 0.5 * (rho[..., :-1] + rho[..., 1:])
+        O = _calc_O(tuple(ac), tuple(rc), dlam)
+        jn = jc[..., :-1]
+        jf = jc[..., 1:]
         p = _cell_emission(O, ac, rc, jn, jf, dlam)
     else:
-        # subdivide each cell; coefficients linearly interpolated
+        # subdivide each cell; coefficients linearly interpolated over a
+        # trailing substep axis (batch dims npix, ncell, substeps)
         fr = (jnp.arange(substeps) + 0.5) / substeps
-        asub = a[..., :-1, None, :] * (1 - fr)[:, None] \
-            + a[..., 1:, None, :] * fr[:, None]
-        rsub = rho[..., :-1, None, :] * (1 - fr)[:, None] \
-            + rho[..., 1:, None, :] * fr[:, None]
-        jsub = j[..., :-1, None, :] * (1 - fr)[:, None] \
-            + j[..., 1:, None, :] * fr[:, None]
+        asub = a[..., :-1, None] * (1 - fr) + a[..., 1:, None] * fr
+        rsub = rho[..., :-1, None] * (1 - fr) + rho[..., 1:, None] * fr
         dsub = dlam[..., None] / substeps                # (npix, ncell, 1)
-        Os = calc_O(asub, rsub, dsub)
+        Os = _calc_O(tuple(asub), tuple(rsub), dsub)
         # emission on substep edges
         fre = jnp.arange(substeps + 1) / substeps
-        jedge = j[..., :-1, None, :] * (1 - fre)[:, None] \
-            + j[..., 1:, None, :] * fre[:, None]
-        ps = _cell_emission(Os, asub, rsub, jedge[..., :-1, :],
-                            jedge[..., 1:, :],
-                            jnp.broadcast_to(dsub, asub[..., 0].shape))
+        jedge = jc[..., :-1, None] * (1 - fre) + jc[..., 1:, None] * fre
+        dfull = jnp.broadcast_to(dsub, asub.shape[1:])
+        ps = _cell_emission(Os, asub, rsub, jedge[..., :-1],
+                            jedge[..., 1:], dfull)
         # compose substeps within each cell (far substep applied first);
-        # shapes (npix, ncell, substeps, ...): scan over axis 2
-        Osr = jnp.flip(Os, axis=2)
-        psr = jnp.flip(ps, axis=2)
-        A, b = jax.lax.associative_scan(_compose, (Osr, psr), axis=2)
-        O = A[:, :, -1, :, :]
-        p = b[:, :, -1, :]
+        # scan over the trailing substep axis
+        Osr = jnp.flip(Os, axis=-1)
+        psr = jnp.flip(ps, axis=-1)
+        A, b = jax.lax.associative_scan(_compose, (Osr, psr),
+                                        axis=Os.ndim - 1)
+        O = A[..., -1]
+        p = b[..., -1]
     O, p = _mask_cells(O, p, cell_ok)
     return _scan_to_observer(O, p, I0)
-
-
-def _imatrix4(m):
-    return jnp.linalg.inv(m)
 
 
 @jax.jit
@@ -343,55 +470,63 @@ def delo_solve(lam, j, K, mask=None, max_tau=MAX_TAU, thin=THIN, I0=None):
     """DELO linear short-characteristics solver (reference iflag=1,
     :795-842) with the optically-thin Taylor branch (:746-793)."""
     j, K = passivity_clamp(j, K)
-    a = K[..., 0:4]
-    rho = K[..., 4:7]
-    aI = a[..., 0]
-    Kfull = opacity_matrix(a, rho)
+    aI = K[..., 0]
+    acomp = tuple(K[..., i] for i in range(4))
+    rcomp = tuple(K[..., i] for i in range(4, 7))
+    Kfull = _opac_m4(acomp, rcomp)                       # (4,4,npix,npts)
+    jc = jnp.moveaxis(j, -1, 0)[:, None]                 # (4,1,npix,npts)
     dlam = lam[..., 1:] - lam[..., :-1]
     tau, cell_ok = _cell_tau_mask(lam, K, mask, max_tau)
     delta = 0.5 * (aI[..., 1:] + aI[..., :-1]) * dlam
 
-    eye = jnp.eye(4)
+    eye = _eye4(Kfull)
     # "0" = observer-side sample of the cell, "1" = far-side sample
-    K0 = Kfull[..., :-1, :, :]
-    K1 = Kfull[..., 1:, :, :]
-    j0 = j[..., :-1, :]
-    j1 = j[..., 1:, :]
-    a0 = jnp.maximum(aI[..., :-1], 1e-300)
-    a1 = jnp.maximum(aI[..., 1:], 1e-300)
+    K0 = Kfull[..., :-1]
+    K1 = Kfull[..., 1:]
+    j0 = jc[..., :-1]
+    j1 = jc[..., 1:]
+    # division floors must be sqrt(tiny), NOT tiny: the divide VJP
+    # computes -g*x/y^2 and tiny^2 underflows to 0, turning masked
+    # cells' cotangents into 0/0 NaN (round-1 regression class).
+    # Additionally floor each endpoint RELATIVE to the cell's mean
+    # absorption: a cell with one nearly-transparent endpoint otherwise
+    # explodes S = j/a to ~1/floor (DELO's per-point source functions
+    # are meaningless across such a discontinuity anyway; the reference
+    # divides unfloored and relies on post-hoc NaN zeroing,
+    # radtrans_integrate.f90:192-196)
+    floor = _fin(aI).tiny ** 0.5
+    avg_a = delta / jnp.maximum(dlam, floor)
+    rel = jnp.maximum(1e-8 * avg_a, floor)
+    a0 = jnp.maximum(aI[..., :-1], rel)
+    a1 = jnp.maximum(aI[..., 1:], rel)
 
-    # thick branch (delta > thin)
+    # thick branch (delta > thin); G's division is gated on the thick
+    # mask so thin/zero cells feed a sanitized denominator
+    thick = delta > thin
     E = jnp.exp(-delta)
     F = 1.0 - E
-    G = (1.0 - (1.0 + delta) * E) / jnp.maximum(delta, 1e-300)
-    Sp0 = j0 / a0[..., None]
-    Sp1 = j1 / a1[..., None]
-    Kp0 = K0 / a0[..., None, None] - eye
-    Kp1 = K1 / a1[..., None, None] - eye
-    Mthick = eye + (F - G)[..., None, None] * Kp0
+    G = (1.0 - (1.0 + delta) * E) / jnp.where(thick, delta, 1.0)
+    Sp0 = j0 / a0
+    Sp1 = j1 / a1
+    Kp0 = K0 / a0 - eye
+    Kp1 = K1 / a1 - eye
+    Mthick = eye + (F - G) * Kp0
     iM = _imatrix4(Mthick)
-    Pthick = jnp.einsum("...ij,...j->...i", iM,
-                        (F - G)[..., None] * Sp0 + G[..., None] * Sp1)
-    Qthick = jnp.einsum("...ij,...jk->...ik", iM,
-                        E[..., None, None] * eye
-                        - G[..., None, None] * Kp1)
+    Pthick = _mm(iM, (F - G) * Sp0 + G * Sp1)
+    Qthick = _mm(iM, E * eye - G * Kp1)
 
     # thin branch (Taylor in delta; reference :746-793)
     dx = dlam
-    Mthin = (1.0 - delta / 2.0 + delta ** 2 / 6.0)[..., None, None] * eye \
-        + (0.5 * dx - dx ** 2 * a0 / 6.0)[..., None, None] * K0
+    Mthin = (1.0 - delta / 2.0 + delta ** 2 / 6.0) * eye \
+        + (0.5 * dx - dx ** 2 * a0 / 6.0) * K0
     iMt = _imatrix4(Mthin)
-    Pthin = jnp.einsum("...ij,...j->...i", iMt,
-                       (0.5 * dx - dx ** 2 * a0 / 6.0)[..., None] * j0
-                       + (0.5 * dx - dx ** 2 * a0 / 3.0)[..., None] * j1)
-    Qthin = jnp.einsum("...ij,...jk->...ik", iMt,
-                       (1.0 - 0.5 * dx * a0
-                        + dx ** 2 * a0 ** 2 / 6.0)[..., None, None] * eye
-                       - (0.5 * dx - dx ** 2 / 3.0)[..., None, None] * K1)
+    Pthin = _mm(iMt, (0.5 * dx - dx ** 2 * a0 / 6.0) * j0
+                + (0.5 * dx - dx ** 2 * a0 / 3.0) * j1)
+    Qthin = _mm(iMt, (1.0 - 0.5 * dx * a0 + dx ** 2 * a0 ** 2 / 6.0) * eye
+                - (0.5 * dx - dx ** 2 / 3.0) * K1)
 
-    thick = (delta > thin)[..., None, None]
     Q = jnp.where(thick, Qthick, Qthin)
-    P = jnp.where(thick[..., 0], Pthick, Pthin)
+    P = jnp.where(thick, Pthick, Pthin)
     Q, P = _mask_cells(Q, P, cell_ok)
     return _scan_to_observer(Q, P, I0)
 

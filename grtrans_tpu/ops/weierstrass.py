@@ -129,14 +129,20 @@ def invert_quartic(A, B, C, D, E, x0, s, lam, g2=None, g3=None):
     if g2 is None:
         g2, g3 = quartic_invariants(A, B, C, D, E)
     f0, f1, f2, f3, f4 = quartic_coeff_derivs(A, B, C, D, E, x0)
-    p, dp = wp(lam, g2, g3)
+    # double-where: lam=0 sits on wp's pole (p, dp -> inf, num/den =
+    # inf/inf = NaN) — a NaN in the DISCARDED branch still poisons the
+    # backward pass (the divide VJP computes 0 * num/den^2 = 0 * NaN),
+    # so wp must never see lam=0.  1e-8 is deep inside the series region
+    # for any invariant scale reached here.
+    zero = lam == 0.0
+    lam_s = jnp.where(zero, 1e-8, lam)
+    p, dp = wp(lam_s, g2, g3)
     sq = jnp.sqrt(jnp.maximum(f0, 0.0))
     pm = p - f2 / 24.0
     num = -s * sq * dp + 0.5 * f1 * pm + f0 * f3 / 24.0
     den = 2.0 * pm * pm - f0 * f4 / 48.0
     x = x0 + num / den
-    # exact at lam=0 (den -> inf there, but guard anyway)
-    return jnp.where(lam == 0.0, jnp.broadcast_to(x0, x.shape), x)
+    return jnp.where(zero, jnp.broadcast_to(x0, x.shape), x)
 
 
 def invert_quartic_with_deriv(A, B, C, D, E, x0, s, lam, g2=None, g3=None):
@@ -147,7 +153,10 @@ def invert_quartic_with_deriv(A, B, C, D, E, x0, s, lam, g2=None, g3=None):
     if g2 is None:
         g2, g3 = quartic_invariants(A, B, C, D, E)
     f0, f1, f2, f3, f4 = quartic_coeff_derivs(A, B, C, D, E, x0)
-    p, dp = wp(lam, g2, g3)
+    # double-where at lam=0: see invert_quartic
+    zero = lam == 0.0
+    lam_s = jnp.where(zero, 1e-8, lam)
+    p, dp = wp(lam_s, g2, g3)
     ddp = 6.0 * p * p - 0.5 * g2
     sq = jnp.sqrt(jnp.maximum(f0, 0.0))
     pm = p - f2 / 24.0
@@ -157,6 +166,6 @@ def invert_quartic_with_deriv(A, B, C, D, E, x0, s, lam, g2=None, g3=None):
     dnum = -s * sq * ddp + 0.5 * f1 * dp
     dden = 4.0 * pm * dp
     dx = (dnum * den - num * dden) / (den * den)
-    x = jnp.where(lam == 0.0, jnp.broadcast_to(x0, x.shape), x)
-    dx = jnp.where(lam == 0.0, jnp.broadcast_to(s * sq, dx.shape), dx)
+    x = jnp.where(zero, jnp.broadcast_to(x0, x.shape), x)
+    dx = jnp.where(zero, jnp.broadcast_to(s * sq, dx.shape), dx)
     return x, dx

@@ -1,0 +1,86 @@
+"""Multi-chip correctness on the virtual 8-device CPU mesh (conftest):
+the sharded render must be numerically identical to the unsharded one —
+images, reductions (spectra), and parameter gradients (SURVEY.md §4's
+multi-host scaling tests; the reference has no distributed story at all).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from grtrans_tpu.parallel import pixel_mesh, shard_pixels
+from grtrans_tpu.geodesics import camera as cam_mod
+from grtrans_tpu.geodesics import geokerr
+from grtrans_tpu import driver
+from grtrans_tpu.fluid.base import load_fluid_model, SourceParams
+from grtrans_tpu.fluid import analytic  # noqa: F401
+
+A, MU0 = 0.9, 0.5
+NPTS = 32
+MBH = 4e6
+SP = SourceParams(mbh=MBH)
+NDEV = 8
+# 1-D strip camera: npix divisible by the mesh size
+CAM = cam_mod.make_camera(A, MU0, -12.0, 12.0, 0.0, 0.0, 4 * NDEV, 1)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < NDEV,
+                                reason="needs 8 virtual devices")
+
+
+def _image(params, alpha, beta, l, q2, sm):
+    model = load_fluid_model("SARIAF", n0=params["n0"], t0=params["t0"],
+                             beta=10.0)
+    geo = geokerr.trace(A, MU0, alpha, beta, l, q2, sm, CAM.u0, NPTS)
+    fv = model.vals(geo.x, geo.k, A)
+    ei = model.convert(fv, SP)
+    iv = driver.render_rays(geo, fv, ei, "POLSYNCHTH", [2.3e11], MU0,
+                            alpha, beta, A, MBH, SP,
+                            iname="formal", nvals=4)
+    return iv[0]
+
+
+PARAMS = {"n0": jnp.asarray(4e7), "t0": jnp.asarray(1.6e11)}
+CAM_ARRAYS = (CAM.alpha, CAM.beta, CAM.l, CAM.q2, CAM.sm)
+
+
+def _sharded_args():
+    mesh = pixel_mesh(NDEV)
+    return mesh, shard_pixels(mesh, *CAM_ARRAYS)
+
+
+def test_sharded_image_matches_unsharded():
+    """Pixel-sharded forward render == single-device render, elementwise."""
+    ref = np.asarray(jax.jit(_image)(PARAMS, *CAM_ARRAYS))
+    mesh, args = _sharded_args()
+    out = jax.jit(_image)(PARAMS, *args)
+    # the output inherits the pixel sharding
+    assert len(out.sharding.device_set) == NDEV
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-12, atol=0)
+
+
+def test_sharded_spectrum_psum_matches():
+    """The cross-pixel flux reduction (a psum over the mesh under SPMD
+    partitioning) equals the unsharded sum."""
+    def spec(params, *cam):
+        return jnp.sum(_image(params, *cam)[:, 0])
+
+    ref = float(jax.jit(spec)(PARAMS, *CAM_ARRAYS))
+    mesh, args = _sharded_args()
+    out = float(jax.jit(spec)(PARAMS, *args))
+    np.testing.assert_allclose(out, ref, rtol=1e-12)
+
+
+def test_sharded_gradient_matches_unsharded():
+    """Parameter gradients (the backward psum) are sharding-invariant."""
+    def loss(params, *cam):
+        return jnp.sum(_image(params, *cam)[:, 0])
+
+    g_ref = jax.jit(jax.grad(loss))(PARAMS, *CAM_ARRAYS)
+    mesh, args = _sharded_args()
+    g_sh = jax.jit(jax.grad(loss))(PARAMS, *args)
+    for k in PARAMS:
+        r, s = float(g_ref[k]), float(g_sh[k])
+        assert np.isfinite(r) and np.isfinite(s)
+        np.testing.assert_allclose(s, r, rtol=1e-10)

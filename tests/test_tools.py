@@ -47,20 +47,29 @@ def test_namelist_roundtrip(tmp_path):
 
 def test_cli_end_to_end(tmp_path):
     """python -m grtrans_tpu files.in -> reference-layout binary."""
-    cfg = GrtransConfig(fname="POWERLAW", ename="POLSYNCHTH", nvals=4,
+    # SARIAF yields float32-representable intensities (the POWERLAW toy
+    # config's monika_e temperature ratio pushes I below float32 range,
+    # which the reference's float32 record format cannot hold either)
+    cfg = GrtransConfig(fname="SARIAF", ename="POLSYNCHTH", nvals=4,
                         spin=0.9, standard=1, nn=(6, 6, 24),
                         mumin=0.5, mumax=0.5, nmu=1, nfreq=1,
                         fmin=2.3e11, fmax=2.3e11, iname="formal",
                         mbh=4e6, gridvals=(-12.0, 12.0, -12.0, 12.0),
-                        fargs=dict(n0=3e7, t0=6e10, beta=10.0))
+                        fargs=dict(n0=4e7, t0=1.6e11, beta=10.0))
     nml.write_inputs(cfg, tmp_path / "inputs.in")
     nml.write_files_in(str(tmp_path / "inputs.in"),
                        str(tmp_path / "out.bin"),
                        tmp_path / "files.in")
+    # the subprocess must not inherit the session's remote-TPU platform
+    # (a tiny 6x6 render would pay a multi-minute remote AOT compile);
+    # pin it to the same virtual-CPU setup the suite runs under
+    import os
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
     r = subprocess.run([sys.executable, "-m", "grtrans_tpu",
                         str(tmp_path / "files.in")],
                        capture_output=True, text=True, timeout=600,
-                       cwd="/root/repo")
+                       cwd="/root/repo", env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     from grtrans_tpu.io.binio import read_camera_bin
     ab, ivals_list, keys = read_camera_bin(tmp_path / "out.bin")
