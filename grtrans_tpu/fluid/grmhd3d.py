@@ -65,6 +65,7 @@ class Grmhd3D:
 
     nt_slices: int = 1
     tstep: float = 1.0
+    toffset: float = 0.0   # simulation time of slice 0
     # theta-fraction space: physical theta (harm3d_vals:189-207) or
     # simulation x2 (needed when theta(x2) also depends on x1 — MMKS)
     interp_td_in_x2: bool = False
@@ -131,13 +132,21 @@ class Grmhd3D:
         pd = jnp.clip(pd, 0.0, 1.0)
         outside = x1 <= u1a
 
-        # time-slice blend (slow light); reference zeroes rttd (:271)
+        # time-slice blend (slow light, reference harm_vals:136-197 +
+        # :229-254).  Slices are ordered FORWARD in simulation time:
+        # slice k holds the dump at t_sim = toffset + k*tstep.  The
+        # sample's KS time (<= 0: the trace lies in the observer's past,
+        # zeroed at the ray's own first point like the reference's
+        # zr(1)/zt(1)) plus the camera epoch `time` selects the
+        # bracketing pair; fast-light runs pass time=0 with one slice
+        # and the blend is the identity.
         if self.nt_slices > 1:
-            tt = -(kerr.bl2ks_time(r, x[..., 0], a)
-                   - kerr.bl2ks_time(r.ravel()[0], 0.0, a))
-            tind = jnp.clip(jnp.floor(tt / self.tstep).astype(int),
+            tks = (kerr.bl2ks_time(r, x[..., 0], a)
+                   - kerr.bl2ks_time(r[..., :1], 0.0 * r[..., :1], a))
+            s = (time - self.toffset + tks) / self.tstep
+            tind = jnp.clip(jnp.floor(s).astype(int),
                             0, self.nt_slices - 2)
-            ttd = jnp.clip((tt - tind * self.tstep) / self.tstep, 0.0, 1.0)
+            ttd = jnp.clip(s - tind, 0.0, 1.0)
         else:
             tind = jnp.zeros(r.shape, int)
             ttd = jnp.zeros_like(r)

@@ -436,6 +436,25 @@ def _bc_min(a, b):
     return jnp.minimum(a, b)
 
 
+@partial(jax.jit, static_argnames=())
+def camera_delay(a, mu0, alpha, beta, l, q2, sm, u0, uout):
+    """Per-ray coordinate-time delay Delta-t(u0 -> uout): the travel time
+    from the camera to the trace start that `trace(uout=...)` omits from
+    its t coordinate (t=0 at the trace start).
+
+    This is the slow-light t0 pre-pass (reference initialize_geo_tabs,
+    geodesics.f90:113-128 + pgrtrans.f90:177-191): subtract
+    `delay - min(delay)` from each ray's t so fluid sampling times share
+    one global clock."""
+    st, uf = _setup(a, mu0, l, q2, sm, u0)
+    uo = jnp.full_like(l, uout)
+    uo = jnp.minimum(uo, st.u_turn * (1 - 1e-9))
+    lam_start = _lam_of_u(st.cU, st.u0, jnp.maximum(uo, st.u0))
+    grid = jnp.stack([jnp.zeros_like(lam_start), lam_start], axis=-1)
+    dt_c, _, _ = _cumulative_phases(st, a, l, grid)
+    return dt_c[..., -1]
+
+
 @partial(jax.jit, static_argnames=("npts", "crossing"))
 def trace_polar(a, mu0, alpha, beta, l, q2, sm, u0, npts=1, phi0=0.0,
                 crossing=1):

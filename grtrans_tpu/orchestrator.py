@@ -61,9 +61,15 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False):
     _use_uout = cfg.uout > _probe.u0 * 1.0001
 
     timedep = getattr(model, "timedep", False)
+    # slow light (reference nload>1, pgrtrans.f90:177-191): the fluid is a
+    # time SERIES and each sample is taken at its own retarded time.  The
+    # per-ray camera->trace-start delay (dropped by trace's local t=0
+    # convention) is restored via the t0 pre-pass before sampling.
+    slow_light = cfg.nload > 1 and getattr(model, "nt_slices", 1) > 1
 
     @partial(jax.jit, static_argnames=("mdot_key",))
-    def _render_camera(alpha, beta, l, q2, sm, mu0_v, u0_v, tcur, mdot_key):
+    def _render_camera(alpha, beta, l, q2, sm, mu0_v, u0_v, tcur, t0sh,
+                       mdot_key):
         sp = _source_params(cfg, mdots[mdot_key])
         if cfg.standard == 2:
             geo = geokerr.trace_polar(a, mu0_v, alpha, beta, l, q2, sm,
@@ -72,7 +78,9 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False):
             uout = cfg.uout if _use_uout else None
             geo = geokerr.trace(a, mu0_v, alpha, beta, l, q2, sm, u0_v,
                                 nup, uout=uout, phi0=cfg.phi0)
-        if timedep:
+        if slow_light:
+            geo = geo._replace(x=geo.x.at[..., 0].add(-t0sh[:, None]))
+        if timedep or slow_light:
             fv = model.vals(geo.x, geo.k, a, time=tcur)
         else:
             fv = model.vals(geo.x, geo.k, a)
@@ -101,12 +109,22 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False):
                           axis=0)
         # camera ordering: freq fastest, then mdot, then time, then mu
         # (pgrtrans.f90:198-211 loop nesting)
+        # slow-light t0 pre-pass: relative camera->trace-start delay
+        # (reference normalization: pgrtrans.f90:184-190).  Without
+        # uout the trace starts at the camera and t is already global.
+        if slow_light and _use_uout:
+            t0sh = geokerr.camera_delay(a, float(mu0), cam.alpha,
+                                        cam.beta, cam.l, cam.q2, cam.sm,
+                                        cam.u0, cfg.uout)
+            t0sh = t0sh - jnp.min(t0sh)
+        else:
+            t0sh = jnp.zeros_like(cam.l)
         for it in range(cfg.nt):
             tcur = it * cfg.dt
             for im in range(len(mdots)):
                 iv = _render_camera(cam.alpha, cam.beta, cam.l, cam.q2,
                                     cam.sm, float(mu0), cam.u0, tcur,
-                                    mdot_key=im)
+                                    t0sh, mdot_key=im)
                 ivals_all.append(np.asarray(iv))  # (nfreq, npix, nvals)
     if verbose:
         print(f"grtrans_run: {time.time() - t0:.2f} s")
