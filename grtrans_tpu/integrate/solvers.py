@@ -556,16 +556,134 @@ def quadrature_solve(lam, j, K, mask=None, max_tau=MAX_TAU):
                             z[..., None]], axis=-1)
 
 
+def _sph_rhs(y, jv, Kv):
+    """RHS of the transfer equation in spherical-Stokes variables
+    y = (I, p, phi, psi) with (Q,U,V) = p (cos phi sin psi, sin phi
+    sin psi, cos psi) — transcription of the reference's nonlinear form
+    (radtrans_rhs_form_sph, radtrans_integrate.f90:487-513).
+
+    jv: (..., 4) emission; Kv: (..., 7) opacities; y: (..., 4).
+    Guarded against the p -> 0 / sin(psi) -> 0 coordinate
+    singularities (the angles are undefined there; bounded garbage in
+    them is harmless because Q,U,V = p*(...) vanishes with p)."""
+    I, p, phi, psi = (y[..., i] for i in range(4))
+    j1, j2, j3, j4 = (jv[..., i] for i in range(4))
+    K1, K2, K3, K4 = (Kv[..., i] for i in range(4))
+    K5, K6, K7 = (Kv[..., i] for i in range(4, 7))
+    cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+    cpsi, spsi = jnp.cos(psi), jnp.sin(psi)
+    tiny = _fin(I).tiny ** 0.5
+    p_s = jnp.where(jnp.abs(p) > tiny, p, tiny)
+    spsi_s = jnp.where(jnp.abs(spsi) > 1e-8, spsi, 1e-8)
+    dI = j1 - K1 * I - (cphi * spsi * K2 + sphi * spsi * K3
+                        + cpsi * K4) * p
+    dp = (-K1 * p - (cphi * K2 + sphi * K3) * spsi * I
+          + spsi * (cphi * j2 + sphi * j3) + cpsi * (j4 - I * K4))
+    dphi = (1.0 / (p_s * spsi_s)
+            * (cphi * (j3 - I * K3) + sphi * (I * K2 - j2))
+            - cpsi / spsi_s * (cphi * K5 + sphi * K6) + K7)
+    dpsi = (1.0 / p_s * (spsi * (I * K4 - j4)
+                         + cpsi * (cphi * (j2 - K2 * I)
+                                   + sphi * (j3 - I * K3)))
+            + cphi * K6 - sphi * K5)
+    # the angle rates are unbounded at p -> 0; cap them so an RK4 step
+    # cannot fling the angles across many revolutions in one substep
+    cap = 1e3
+    dphi = jnp.clip(dphi, -cap, cap)
+    dpsi = jnp.clip(dpsi, -cap, cap)
+    return jnp.stack([dI, dp, dphi, dpsi], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("nsub",))
+def sphstokes_solve(lam, j, K, mask=None, max_tau=MAX_TAU, nsub=4):
+    """Spherical-Stokes integrator (reference iflag=3 / iname='lsodasph',
+    radtrans_integrate.f90:468-613): integrates the transfer equation in
+    the nonlinear variables (I, p, phi, psi) — useful when linear-Stokes
+    Faraday stiffness matters (p and the rotation angles evolve smoothly
+    where Q,U oscillate).  The reference drives LSODA with a relaxed
+    tolerance; here: RK4 with `nsub` substeps per cell, batched over all
+    pixels via lax.scan along the ray — the state is nonlinear so the
+    associative-scan trick of the linear solvers does not apply.
+
+    Returns (npix, npts, 4) LINEAR Stokes profile (index 0 = observer,
+    converted back from the spherical variables)."""
+    j, K = passivity_clamp(j, K)
+    tau, cell_ok = _cell_tau_mask(lam, K, mask, max_tau)
+    dlam = lam[..., 1:] - lam[..., :-1]
+    npix, npts = lam.shape
+
+    # far -> observer ordering for the sequential march
+    jr = jnp.flip(j, axis=-2)
+    Kr = jnp.flip(K, axis=-2)
+    dr = jnp.flip(dlam, axis=-1)
+    okr = jnp.flip(cell_ok, axis=-1)
+
+    # seed: zero intensity; angles pointing along the far cell's
+    # polarized emission (the reference seeds zeros and relies on
+    # LSODA's damping; a directional seed avoids the startup transient)
+    j_far = jr[..., 0, :]
+    tiny = _fin(lam).tiny ** 0.5
+    lp = jnp.sqrt(j_far[..., 1] ** 2 + j_far[..., 2] ** 2)
+    phi0 = jnp.arctan2(j_far[..., 2], j_far[..., 1] + tiny)
+    psi0 = jnp.arctan2(lp + tiny, j_far[..., 3])
+    y0 = jnp.stack([jnp.zeros_like(phi0), jnp.full_like(phi0, tiny),
+                    phi0, psi0], axis=-1)
+
+    def cell(y, inputs):
+        jn, jf, Kn, Kf, d, ok = inputs
+        h = d[..., None] / nsub
+
+        def sub(carry, f):
+            y = carry
+            jm0 = jn * (1 - f) + jf * f
+            jm1 = jn * (1 - f - 0.5 / nsub) + jf * (f + 0.5 / nsub)
+            jm2 = jn * (1 - f - 1.0 / nsub) + jf * (f + 1.0 / nsub)
+            Km0 = Kn * (1 - f) + Kf * f
+            Km1 = Kn * (1 - f - 0.5 / nsub) + Kf * (f + 0.5 / nsub)
+            Km2 = Kn * (1 - f - 1.0 / nsub) + Kf * (f + 1.0 / nsub)
+            k1 = _sph_rhs(y, jm0, Km0)
+            k2 = _sph_rhs(y + 0.5 * h * k1, jm1, Km1)
+            k3 = _sph_rhs(y + 0.5 * h * k2, jm1, Km1)
+            k4 = _sph_rhs(y + h * k3, jm2, Km2)
+            return y + h / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4), None
+
+        ynew = y
+        for i in range(nsub):
+            ynew, _ = sub(ynew, i / nsub)
+        # keep I, p physical
+        ynew = ynew.at[..., 0].set(jnp.maximum(ynew[..., 0], 0.0))
+        ynew = ynew.at[..., 1].set(jnp.maximum(ynew[..., 1], 0.0))
+        y = jnp.where(ok[..., None], ynew, y)
+        return y, y
+
+    # inputs ordered far cell first; "near/far" of cell i along the
+    # march: near = sample i+1 (farther from observer)
+    inputs = (jr[..., :-1, :].swapaxes(0, 1), jr[..., 1:, :].swapaxes(0, 1),
+              Kr[..., :-1, :].swapaxes(0, 1), Kr[..., 1:, :].swapaxes(0, 1),
+              dr.swapaxes(0, 1), okr.swapaxes(0, 1))
+    yend, ys = jax.lax.scan(cell, y0, inputs)
+    ys = jnp.concatenate([y0[None], ys], axis=0)     # (npts, npix, 4)
+    ys = jnp.flip(ys.swapaxes(0, 1), axis=-2)        # (npix, npts, 4)
+    I, p, phi, psi = (ys[..., i] for i in range(4))
+    Q = p * jnp.cos(phi) * jnp.sin(psi)
+    U = p * jnp.sin(phi) * jnp.sin(psi)
+    V = p * jnp.cos(psi)
+    return jnp.stack([I, Q, U, V], axis=-1)
+
+
 def integrate(lam, j, K, method="formal", mask=None, max_tau=MAX_TAU,
               thin=THIN, I0=None):
     """Dispatch by iname (rad_trans.f90:29-37): 'lsoda'->substepped
-    formal, 'delo', 'formal', 'quadrature'."""
+    formal, 'delo', 'formal', 'lsodasph'->spherical-Stokes RK4,
+    'quadrature'."""
     if method in ("formal", 2):
         return formal_solve(lam, j, K, mask, max_tau, I0)
     if method in ("delo", 1):
         return delo_solve(lam, j, K, mask, max_tau, thin, I0)
     if method in ("lsoda", 0):
         return formal_solve(lam, j, K, mask, max_tau, I0, substeps=4)
+    if method in ("lsodasph", 3):
+        return sphstokes_solve(lam, j, K, mask, max_tau)
     if method == "quadrature":
         return quadrature_solve(lam, j, K, mask, max_tau)
     raise ValueError(f"unknown method {method}")

@@ -157,3 +157,55 @@ class TestMasking:
         I = float(prof[0, 0, 0])
         expect = 1.0 * float(lam[0, 63])
         assert abs(I - expect) < 1e-8
+
+
+class TestSphericalStokes:
+    """iname='lsodasph' (reference iflag=3): the transfer equation in
+    (I, p, phi, psi) variables, cross-validated against the linear
+    solvers at the reference's own <=5% bar
+    (run_grtrans_test_problems_public.py:88-107)."""
+
+    def test_emission_absorption(self):
+        lam = _grid(L=2.0)
+        j = jnp.zeros((1, 512, 4)).at[..., 0].set(3.0)
+        K = jnp.zeros((1, 512, 7)).at[..., 0].set(2.0)
+        expect = 3.0 / 2.0 * (1.0 - np.exp(-4.0))
+        I = _run("lsodasph", lam, j, K)
+        assert abs(I[0] - expect) < 1e-3 * expect
+
+    def test_polarized_vs_formal_smooth(self):
+        # smooth Gaussian emission + absorption + Faraday rotation
+        lam = _grid(L=1.0)
+        x = np.asarray(lam[0])
+        g = np.exp(-((x - 0.5) / 0.2) ** 2)
+        j = jnp.zeros((1, 512, 4))
+        j = j.at[..., 0].set(2.0 * g).at[..., 1].set(0.6 * g)
+        j = j.at[..., 3].set(0.2 * g)
+        K = jnp.zeros((1, 512, 7))
+        K = K.at[..., 0].set(1.5 * g).at[..., 1].set(0.4 * g)
+        K = K.at[..., 4].set(3.0 * g).at[..., 6].set(5.0 * g)
+        ref = _run("formal", lam, j, K)
+        got = _run("lsodasph", lam, j, K)
+        scale = abs(ref[0])
+        for c in range(4):
+            assert abs(got[c] - ref[c]) < 5e-2 * scale, (c, got, ref)
+        # polarization present and physical
+        p = np.sqrt(got[1] ** 2 + got[2] ** 2 + got[3] ** 2)
+        assert 0 < p <= got[0] * (1 + 1e-8)
+
+    def test_strong_faraday_rotation(self):
+        # strong rotation, weak absorption: the regime iflag=3 exists
+        # for (p, angles smooth where Q,U oscillate)
+        lam = _grid(npts=1024, L=1.0)
+        x = np.asarray(lam[0])
+        g = np.exp(-((x - 0.5) / 0.25) ** 2)
+        j = jnp.zeros((1, 1024, 4))
+        j = j.at[..., 0].set(1.0 * g).at[..., 1].set(0.5 * g)
+        K = jnp.zeros((1, 1024, 7))
+        K = K.at[..., 0].set(0.5 * g).at[..., 4].set(40.0 * g)
+        ref = _run("lsoda", lam, j, K)      # substepped formal
+        got = _run("lsodasph", lam, j, K)
+        assert abs(got[0] - ref[0]) < 5e-2 * abs(ref[0])
+        lp_ref = np.hypot(ref[1], ref[2])
+        lp_got = np.hypot(got[1], got[2])
+        assert abs(lp_got - lp_ref) < 5e-2 * abs(ref[0])
