@@ -37,6 +37,15 @@ def main(argv=None):
     from grtrans_tpu.orchestrator import grtrans_run
     ivals, ab, freqs = grtrans_run(cfg, verbose=True)
 
+    if cfg.debug and cfg.i1 > 0 and cfg.i1 == cfg.i2:
+        # single-ray debug dump (reference debug=1 geodebug.out,
+        # grtrans_driver.f90:91-110): every pipeline intermediate for
+        # the selected pixel, re-integrable via tools.geodebug
+        from grtrans_tpu.tools import geodebug
+        gpath = str(ofile) + ".geodebug.npz"
+        geodebug.dump_ray(cfg, cfg.i1, gpath)
+        print(f"grtrans_tpu: wrote geodebug dump to {gpath}")
+
     ncams = ivals.shape[0]
     nx, ny = cfg.nn[0], cfg.nn[1]
     if cfg.i1 > 0 or cfg.i2 > 0:
@@ -46,7 +55,7 @@ def main(argv=None):
     if str(ofile).endswith(".fits"):
         from grtrans_tpu.io.fitsio import write_fits
         write_fits(ofile, ab.T, [ivals[i] for i in range(ncams)],
-                   [dict(freq=float(k[0])) for k in keyvals])
+                   cfg.camera_key_dicts()[:ncams])
     else:
         from grtrans_tpu.io.binio import write_camera_bin
         write_camera_bin(ofile, ab.T, [ivals[i] for i in range(ncams)],

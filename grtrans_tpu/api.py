@@ -125,5 +125,8 @@ class Grtrans:
             write_camera_bin(path, self.ab, ivals_list, keys, self.nx,
                              self.ny)
         else:
+            # FITS carries the full run-parameter provenance per camera
+            # (reference camera.f90:219-305)
             from grtrans_tpu.io.fitsio import write_fits
-            write_fits(path, self.ab, ivals_list, keys)
+            write_fits(path, self.ab, ivals_list,
+                       self.cfg.camera_key_dicts()[:len(ivals_list)])

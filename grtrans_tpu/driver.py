@@ -147,12 +147,18 @@ def _extra_channels(geo, fv, ei, j, K, prof, ok):
 
 def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
                 sp: SourceParams, iname="lsoda", nvals=4,
-                standard=1, extra=0):
+                standard=1, extra=0, debug=False):
     """Render observed Stokes for one camera and a list of frequencies.
 
     geo: GeodesicBundle; fv: FluidVars; ei: EmisInputs (cgs);
     freqs: (nfreq,) observed frequencies [Hz].
-    Returns ivals (nfreq, npix, nvals)."""
+    Returns ivals (nfreq, npix, nvals); with debug=True returns
+    (ivals, dbg) where dbg holds every intermediate array of the
+    pipeline (the reference's debug=1 geodebug dump,
+    grtrans_driver.f90:91-110,341-427 / read_geodebug_file.py) —
+    geodesic coordinates, fluid state, tetrad angles, per-frequency
+    coefficients and Stokes profiles — so any pixel can be re-integrated
+    in isolation (reference ray_integrate.py)."""
     r = geo.x[..., 1]
     th = geo.x[..., 2]
     # sanitize the fluid four-vectors BEFORE the tetrad projection: a NaN
@@ -197,6 +203,15 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
     from grtrans_tpu.fluid.base import apply_source_params
     ei, gmin_eff = apply_source_params(ei, sp)
 
+    dbg = {}
+    if debug:
+        dbg.update(x=geo.x, kvec=geo.k, lam=geo.lam, mino=geo.mino,
+                   tpm=geo.tpm, tpr=geo.tpr, valid=geo.valid,
+                   u=fv.u, b=fv.b, rho=fv.rho, p=fv.p, bmag=fv.bmag,
+                   ncgs=ei.ncgs, tcgs=ei.tcgs, bcgs=ei.bcgs,
+                   ncgsnth=ei.ncgsnth, s2xi=s2xi, c2xi=c2xi, ang=ang,
+                   g=g, cosne=cosne, ok=ok)
+
     out = []
     for fghz in freqs:
         nu = fghz / g
@@ -236,5 +251,15 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
         if extra and not (standard == 2 or geo.x.shape[-2] == 1):
             ex = _extra_channels(geo, fv, ei, j, K, prof, ok)
             res = jnp.concatenate([res, ex], axis=-1)
+        if debug:
+            kf = len(out)
+            dbg[f"nu_{kf}"] = nu
+            dbg[f"j_{kf}"] = j
+            dbg[f"K_{kf}"] = K
+            if not (standard == 2 or geo.x.shape[-2] == 1):
+                dbg[f"prof_{kf}"] = prof
         out.append(res)
-    return jnp.stack(out, axis=0)
+    ivals = jnp.stack(out, axis=0)
+    if debug:
+        return ivals, dbg
+    return ivals

@@ -65,8 +65,25 @@ def _eye4(like):
 
 
 def _mm(A, B):
-    """(4,4,*b) @ (4,k,*b) matrix product over the leading indices."""
-    return jnp.einsum("ik...,kj...->ij...", A, B)
+    """(4,4,*b) @ (4,k,*b) matrix product over the leading indices.
+
+    Hand-unrolled into elementwise multiply-adds on the batch-shaped
+    component arrays: an einsum would lower to dot_general, whose TPU
+    emitter transposes the operands to put the contracted 4x4 dims
+    minor-most — re-creating the 32x tile-padded (..., 4, 4) layout
+    this module's batch-last storage exists to avoid (round-1/2 HBM
+    OOM).  64 fused VPU ops per product instead."""
+    kb = B.shape[1]
+    rows = []
+    for i in range(4):
+        row = []
+        for jx in range(kb):
+            acc = A[i, 0] * B[0, jx]
+            for k in range(1, 4):
+                acc = acc + A[i, k] * B[k, jx]
+            row.append(acc)
+        rows.append(row)
+    return jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
 
 
 def _opac_m4(a, rho):

@@ -52,19 +52,58 @@ def _img_hdu(data, extra_cards=(), primary=False):
     return _header(cards) + raw + b"\x00" * pad
 
 
+def _fits_key(name, used):
+    """Map a parameter name to a unique 8-char FITS keyword."""
+    k = "".join(c for c in name.upper() if c.isalnum() or c in "-_")[:8]
+    base, n = k, 1
+    while k in used:
+        n += 1
+        k = f"{base[:8 - len(str(n))]}{n}"
+    used.add(k)
+    return k
+
+
 def write_fits(path, ab, ivals_list, key_dicts):
-    """ab (npix,2) in the primary HDU; each camera an image extension with
-    its run parameters as KEYnn header keywords."""
+    """ab (npix,2) in the primary HDU; each camera an image extension.
+
+    key_dicts entries are either float lists (written as KEYnn, the
+    minimal reference-binary-style key vector) or dicts of named run
+    parameters (full provenance, parity with camera.f90:219-305 which
+    persists every input as a keyword)."""
     with open(path, "wb") as f:
         f.write(_img_hdu(np.asarray(ab).T.ravel(), primary=True))
         for iv, keys in zip(ivals_list, key_dicts):
-            cards = [_card(f"KEY{i+1}", float(v))
-                     for i, v in enumerate(keys)]
+            if isinstance(keys, dict):
+                used = set()
+                cards = []
+                nkey = 0
+                # numeric per-camera keys first as KEYnn for readers of
+                # the minimal layout
+                for name in ("freq", "mu0cam", "mdotcam", "tcam"):
+                    if name in keys:
+                        nkey += 1
+                        used.add(f"KEY{nkey}")
+                        cards.append(_card(f"KEY{nkey}",
+                                           float(keys[name])))
+                for name, v in keys.items():
+                    if isinstance(v, (bool, np.bool_)):
+                        v = bool(v)
+                    elif isinstance(v, (int, np.integer)):
+                        v = int(v)
+                    elif isinstance(v, (float, np.floating)):
+                        v = float(v)
+                    else:
+                        v = str(v)
+                    cards.append(_card(_fits_key(name, used), v))
+            else:
+                cards = [_card(f"KEY{i+1}", float(v))
+                         for i, v in enumerate(keys)]
             f.write(_img_hdu(np.asarray(iv).T.ravel(), extra_cards=cards))
 
 
-def read_fits(path):
-    """Read back (ab, [ivals_flat], [keys]) from our writer's layout."""
+def read_fits(path, with_headers=False):
+    """Read back (ab, [ivals_flat], [keys]) from our writer's layout;
+    with_headers=True appends the per-extension raw card dicts."""
     with open(path, "rb") as f:
         data = f.read()
     off = 0
@@ -100,9 +139,13 @@ def read_fits(path):
     ab = ab_flat.reshape(2, npix).T
     cams = []
     keys = []
+    headers = []
     for cards, arr in hdus[1:]:
         cams.append(arr)
         kv = [float(v) for k, v in sorted(cards.items())
-              if k.startswith("KEY")]
+              if k.startswith("KEY") and k[3:].isdigit()]
         keys.append(kv)
+        headers.append(cards)
+    if with_headers:
+        return ab, cams, keys, headers
     return ab, cams, keys
