@@ -33,9 +33,14 @@ def _source_params(cfg, mdot):
                         otherargs=cfg.epotherargs, coefindx=cfg.epcoefindx)
 
 
-def grtrans_run(cfg: GrtransConfig, model=None, verbose=False):
+def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None):
     """Run the full render.  Returns (ivals, ab, freqs) numpy arrays with
-    ivals shape (ncams, npix, nvals)."""
+    ivals shape (ncams, npix, nvals).
+
+    chunk: render the camera in pixel blocks of this size through ONE
+    jitted program (the last block is padded to the same shape) — bounds
+    device memory for cameras too large to trace in one shot (e.g.
+    1024^2 x 400 samples), at zero recompile cost."""
     a = cfg.spin
     a1, a2, b1, b2 = cfg.gridvals
     nro, nphi, nup = cfg.nn
@@ -122,10 +127,33 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False):
         for it in range(cfg.nt):
             tcur = it * cfg.dt
             for im in range(len(mdots)):
-                iv = _render_camera(cam.alpha, cam.beta, cam.l, cam.q2,
-                                    cam.sm, float(mu0), cam.u0, tcur,
-                                    t0sh, mdot_key=im)
-                ivals_all.append(np.asarray(iv))  # (nfreq, npix, nvals)
+                npix = cam.alpha.shape[0]
+                if chunk is None or chunk >= npix:
+                    iv = _render_camera(cam.alpha, cam.beta, cam.l,
+                                        cam.q2, cam.sm, float(mu0),
+                                        cam.u0, tcur, t0sh, mdot_key=im)
+                    ivals_all.append(np.asarray(iv))
+                else:
+                    parts = []
+                    for lo2 in range(0, npix, chunk):
+                        hi2 = min(lo2 + chunk, npix)
+                        pad = chunk - (hi2 - lo2)
+
+                        def blk(x):
+                            b = x[lo2:hi2]
+                            if pad:
+                                b = jnp.concatenate(
+                                    [b, jnp.broadcast_to(b[-1:],
+                                                         (pad,) + b.shape[1:])])
+                            return b
+
+                        iv = _render_camera(blk(cam.alpha), blk(cam.beta),
+                                            blk(cam.l), blk(cam.q2),
+                                            blk(cam.sm), float(mu0),
+                                            cam.u0, tcur, blk(t0sh),
+                                            mdot_key=im)
+                        parts.append(np.asarray(iv)[:, :hi2 - lo2])
+                    ivals_all.append(np.concatenate(parts, axis=1))
     if verbose:
         print(f"grtrans_run: {time.time() - t0:.2f} s")
     ivals = np.concatenate(ivals_all, axis=0)  # (ncams, npix, nvals)

@@ -193,3 +193,21 @@ def test_fits_provenance_roundtrip(tmp_path):
     f1 = float(headers[1]["FREQ"])
     assert abs(f0 - 1e11) < 1 and abs(f1 - 3e11) < 1
     assert len(h) > 40
+
+
+def test_chunked_render_matches():
+    """Pixel-chunked rendering (device-memory bounding for at-scale
+    cameras) is bit-identical to the single-shot render."""
+    from grtrans_tpu.orchestrator import grtrans_run
+    cfg = GrtransConfig(fname="SARIAF", ename="POLSYNCHTH", nvals=4,
+                        spin=0.9, standard=1, nn=(7, 5, 24),
+                        mumin=0.5, mumax=0.5, nmu=1, nfreq=1,
+                        fmin=2.3e11, fmax=2.3e11, iname="formal",
+                        mbh=4e6, gridvals=(-12.0, 12.0, -12.0, 12.0),
+                        fargs=dict(n0=4e7, t0=1.6e11, beta=10.0))
+    full, ab_f, _ = grtrans_run(cfg)
+    # 35 pixels in blocks of 16 -> one padded tail block
+    chunked, ab_c, _ = grtrans_run(cfg, chunk=16)
+    # different batch shapes fuse differently: roundoff-level slack only
+    np.testing.assert_allclose(chunked, full, rtol=1e-12, atol=0)
+    np.testing.assert_array_equal(ab_c, ab_f)
