@@ -28,10 +28,13 @@ import jax.numpy as jnp
 from grtrans_tpu import constants as pc
 from grtrans_tpu.ops.interp import get_weight
 
-NX = 141           # log-x table resolution
-NP = 28            # p table resolution
+NX = 201           # log-x table resolution (20/decade, like the
+                    # reference's 181-pt tables)
+NP = 131           # p step 0.05: the reference's slice values 3.0,
+                    # 3.5, 7.0 are EXACT nodes (no p-interpolation
+                    # error where the reference has none)
 X_LO, X_HI = 1e-7, 1e3
-P_LO, P_HI = 1.51, 8.0
+P_LO, P_HI = 1.5, 8.0
 
 
 @lru_cache(maxsize=1)
@@ -73,9 +76,21 @@ def _build_tables():
 
 def _g(name, x, p):
     logxs_np, ps_np, tables = _build_tables()
+    lx = jnp.log(jnp.clip(x, X_LO, X_HI))
+    if np.ndim(p) == 0 and not isinstance(p, jnp.ndarray):
+        # static scalar p (the common case — sp.p1 is a run parameter):
+        # blend the two bracketing p-rows ON THE HOST, turning the 2-D
+        # bilinear gather into a 1-D lookup of a 201-entry constant row
+        pp = float(np.clip(p, P_LO, P_HI))
+        fi = (pp - P_LO) / (P_HI - P_LO) * (NP - 1)
+        i0 = int(min(fi, NP - 2))
+        w = fi - i0
+        row = tables[name][i0] * (1 - w) + tables[name][i0 + 1] * w
+        ix, wx = get_weight(jnp.asarray(logxs_np), lx)
+        t = jnp.asarray(row)
+        return jnp.exp(t[ix] * (1 - wx) + t[ix + 1] * wx)
     logxs = jnp.asarray(logxs_np)
     ps = jnp.asarray(ps_np)
-    lx = jnp.log(jnp.clip(x, X_LO, X_HI))
     pp = jnp.clip(p, P_LO, P_HI)
     ix, wx = get_weight(logxs, lx)
     ip, wp_ = get_weight(ps, pp)

@@ -303,7 +303,25 @@ def _phase_integrands_polar(a, l, mu):
     return dt_m, dph_m, daff_m
 
 
-def _cumulative_phases(st, a, l, lam_grid, u_grid=None):
+def _hermite_nodes(y, d, dseg, x):
+    """Cubic Hermite values at GL nodes x of each segment, from grid
+    endpoint values y and trace-direction derivatives d (both
+    (npix, npts)).  O(dseg^4) accurate — the derivatives are analytic
+    (dy/dlam = +-sqrt(potential)), so each node costs a handful of fused
+    multiply-adds instead of a Weierstrass evaluation."""
+    y0 = y[..., :-1, None]
+    y1 = y[..., 1:, None]
+    d0 = d[..., :-1, None]
+    d1 = d[..., 1:, None]
+    h = dseg[..., None]
+    t2 = x * x
+    t3 = t2 * x
+    return ((2 * t3 - 3 * t2 + 1) * y0 + (t3 - 2 * t2 + x) * h * d0
+            + (-2 * t3 + 3 * t2) * y1 + (t3 - t2) * h * d1)
+
+
+def _cumulative_phases(st, a, l, lam_grid, u_grid=None, node_interp=False,
+                       mu_grid=None):
     """Cumulative (t, phi, affine) along the lam_grid via per-segment GL.
 
     The polar parts are integrated in Mino time (smooth everywhere).  The
@@ -312,14 +330,37 @@ def _cumulative_phases(st, a, l, lam_grid, u_grid=None):
     away from the radial turning point they are integrated in r instead
     (where the integrand is smooth and bounded); segments straddling the
     turning point keep the lam-space quadrature (r(lam) is quadratically
-    flat there, so lam-GL is accurate exactly where r-GL is not)."""
+    flat there, so lam-GL is accurate exactly where r-GL is not).
+
+    node_interp=True (dense grids, i.e. trace()): u and mu at the
+    quadrature nodes come from cubic Hermite interpolation of the grid
+    samples — du/dlam = +-sqrt(U), dmu/dlam = +-sqrt(M) are closed-form
+    — replacing the 2*NQ_SEG Weierstrass evaluations per segment (the
+    dominant cost of the whole geodesic stage) with fused arithmetic.
+    Callers with sparse grids (trace_polar npts=1, camera_delay) keep
+    exact node evaluation."""
     x, w = (jnp.asarray(v) for v in gl_nodes(NQ_SEG))
     a_ = lam_grid[..., :-1]
     b_ = lam_grid[..., 1:]
     dseg = b_ - a_
     nodes = a_[..., None] + dseg[..., None] * x        # (npix, nseg, nq)
-    un = _eval_u(st, nodes)
-    mun = _eval_mu(st, nodes)
+    if node_interp:
+        if u_grid is None:
+            u_grid = _eval_u(st, lam_grid)
+        if mu_grid is None:
+            mu_grid = _eval_mu(st, lam_grid)
+        su_g, smu_g, _, _ = _signs_and_counts(st, lam_grid)
+        du_g = su_g * jnp.sqrt(jnp.maximum(_u_eval(st.cU, u_grid), 0.0))
+        cM = st.cM
+        Mv = (((_bc(cM[4], u_grid.ndim) * mu_grid ** 2
+                + _bc(cM[2], u_grid.ndim)) * mu_grid ** 2)
+              + _bc(cM[0], u_grid.ndim))
+        dmu_g = smu_g * jnp.sqrt(jnp.maximum(Mv, 0.0))
+        un = _hermite_nodes(u_grid, du_g, dseg, x)
+        mun = jnp.clip(_hermite_nodes(mu_grid, dmu_g, dseg, x), -1.0, 1.0)
+    else:
+        un = _eval_u(st, nodes)
+        mun = _eval_mu(st, nodes)
     nd = nodes.ndim
     l_ = _bc(l, nd)
 
@@ -412,7 +453,8 @@ def trace(a, mu0, alpha, beta, l, q2, sm, u0, npts, uout=None, phi0=0.0):
     mu = jnp.clip(mu, -1.0, 1.0)
     su, smu, tpr, tpm = _signs_and_counts(st, lam)
 
-    dt_c, dph_c, aff_c = _cumulative_phases(st, a, l, lam, u_grid=u)
+    dt_c, dph_c, aff_c = _cumulative_phases(st, a, l, lam, u_grid=u,
+                                            node_interp=True, mu_grid=mu)
 
     r = 1.0 / jnp.maximum(u, 1e-12)
     th = jnp.arccos(mu)

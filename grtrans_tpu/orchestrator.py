@@ -33,6 +33,27 @@ def _source_params(cfg, mdot):
                         otherargs=cfg.epotherargs, coefindx=cfg.epcoefindx)
 
 
+# compiled-render cache: jax.jit caches on the FUNCTION OBJECT, and
+# grtrans_run used to rebuild its jitted closure per call — every call
+# re-traced the whole pipeline (tens of seconds of host work for at-scale
+# graphs) even though the XLA executable was already cached.  Key on the
+# full config repr + the model object (a strong ref is held so id() stays
+# valid) + the model's mutable time-series attributes.
+_RENDER_CACHE = {}
+_RENDER_CACHE_MAX = 8
+
+
+def _render_fn_key(cfg, model):
+    fargs = tuple(sorted(cfg.fargs.items(), key=lambda kv: kv[0]))
+    import dataclasses
+    cfgkey = tuple((f.name, repr(getattr(cfg, f.name)))
+                   for f in dataclasses.fields(cfg) if f.name != "fargs")
+    return (cfgkey, repr(fargs), id(model),
+            getattr(model, "nt_slices", 1),
+            float(getattr(model, "tstep", 0.0)),
+            float(getattr(model, "toffset", 0.0)))
+
+
 def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None):
     """Run the full render.  Returns (ivals, ab, freqs) numpy arrays with
     ivals shape (ncams, npix, nvals).
@@ -65,6 +86,9 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None):
                                  nphi, cfg.nrotype, cfg.rcut)
     _use_uout = cfg.uout > _probe.u0 * 1.0001
 
+    _ck = _render_fn_key(cfg, model)
+    _cached = _RENDER_CACHE.get(_ck)
+
     timedep = getattr(model, "timedep", False)
     # slow light (reference nload>1, pgrtrans.f90:177-191): the fluid is a
     # time SERIES and each sample is taken at its own retarded time.  The
@@ -94,6 +118,13 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None):
                                   mu0_v, alpha, beta, a, cfg.mbh, sp,
                                   iname=cfg.iname, nvals=cfg.nvals,
                                   standard=cfg.standard, extra=cfg.extra)
+
+    if _cached is not None:
+        _render_camera = _cached[1]
+    else:
+        if len(_RENDER_CACHE) >= _RENDER_CACHE_MAX:
+            _RENDER_CACHE.pop(next(iter(_RENDER_CACHE)))
+        _RENDER_CACHE[_ck] = (model, _render_camera)
 
     ivals_all = []
     ab = None
