@@ -66,6 +66,10 @@ class GrtransConfig:
     cflag: int = 1
     extra: int = 0
     debug: int = 0
+    # numeric precision of the coefficient+transfer leg: 'f64' or
+    # 'mixed' (f32 coefficients/Stokes with f64 geodesics/tetrad — the
+    # TPU fast path, validated in tests/test_precision.py)
+    prec: str = "f64"
 
     def freqs(self):
         if self.nfreq == 1:

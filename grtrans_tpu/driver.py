@@ -147,7 +147,7 @@ def _extra_channels(geo, fv, ei, j, K, prof, ok):
 
 def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
                 sp: SourceParams, iname="lsoda", nvals=4,
-                standard=1, extra=0, debug=False):
+                standard=1, extra=0, debug=False, prec="f64"):
     """Render observed Stokes for one camera and a list of frequencies.
 
     geo: GeodesicBundle; fv: FluidVars; ei: EmisInputs (cgs);
@@ -203,6 +203,31 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
     from grtrans_tpu.fluid.base import apply_source_params
     ei, gmin_eff = apply_source_params(ei, sp)
 
+    # mixed precision (prec='mixed'): the COEFFICIENT KERNELS run in f32
+    # — they dominate the TPU cycle count (transcendental-heavy, and
+    # v5e has no native f64) and every cgs quantity in them fits f32
+    # range after the ratio-first restructuring; measured coefficient
+    # error vs f64 is <1e-3 against 1e-2 regression tolerances
+    # (tests/test_precision.py).  Geodesics, tetrad AND the Stokes
+    # solve stay f64: Faraday-thick rays accumulate rotation phases of
+    # 1e5-1e6 radians, far beyond f32's 1e-7 relative phase resolution
+    # (measured: f32 transfer scrambles Q,U on such pixels).
+    mixedp = (prec == "mixed") and not (standard == 2
+                                        or geo.x.shape[-2] == 1)
+    if mixedp:
+        f32 = jnp.float32
+
+        def _c(x):
+            return None if x is None else jnp.asarray(x).astype(f32)
+
+        ei = type(ei)(*[_c(v) for v in ei])
+        if hasattr(gmin_eff, "astype"):
+            gmin_eff = gmin_eff.astype(f32)
+        ang = _c(ang)
+        cosne = _c(cosne)
+    g_tr = g
+    lam_tr = geo.lam
+
     dbg = {}
     if debug:
         dbg.update(x=geo.x, kvec=geo.k, lam=geo.lam, mino=geo.mino,
@@ -214,13 +239,17 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
 
     out = []
     for fghz in freqs:
-        nu = fghz / g
+        nu = fghz / g_tr
+        if mixedp:
+            nu = nu.astype(jnp.float32)
         e = calc_emissivity(ename, nu, ei, ang, cosne, sp, gmin=gmin_eff)
+        if mixedp:
+            e = e.astype(jnp.float64)
         if sp.coefindx is not None:
             # zero de-selected absorption/rotation coefficients
             # (emis.f90:557-558 usecoefs; epcoefindx in pgrtrans.f90:19)
             cmask = jnp.concatenate([
-                jnp.ones(4), jnp.asarray(sp.coefindx, dtype=jnp.float64)])
+                jnp.ones(4), jnp.asarray(sp.coefindx, dtype=e.dtype)])
             e = e * cmask
         e = jnp.where(ok[..., None], e, 0.0)
         e = jnp.where(jnp.isfinite(e), e, 0.0)
@@ -240,11 +269,11 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
         else:
             if nvals == 4:
                 j, K = framework.rotate_emis(j, K, s2xi, c2xi)
-            j, K = framework.invariant_emis(j, K, g)
+            j, K = framework.invariant_emis(j, K, g_tr)
             # cgs per unit geometric path (grtrans_driver.f90:217,228)
             j = j * lbh
             K = K * lbh
-            prof = solvers.integrate(geo.lam, j, K, method=iname,
+            prof = solvers.integrate(lam_tr, j, K, method=iname,
                                      mask=ok)
             Iobs = prof[..., 0, :]
         res = Iobs[..., :nvals]

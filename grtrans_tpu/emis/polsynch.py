@@ -105,10 +105,14 @@ def polsynchth(nu, n, b, T, theta):
     k0rat = bessel.besselk0(it) / bessel.besselk2(it)
     gstep = 0.5 + 0.5 * jnp.tanh((thetae - 1.0) / 0.05)
     rel = thetae > 1e-2
-    eps11m22 = _jffunc(xarg) * wp2 * omega0 ** 2 \
-        / (2.0 * jnp.pi * nu) ** 4 \
+    # form the dimensionless ratios FIRST: (2 pi nu)^4 ~ 1e48 overflows
+    # f32 (the mixed-precision path), while omega0/(2 pi nu) ~ 1e-5 and
+    # wp2/(2 pi nu)^2 are comfortably in range
+    otn = omega0 / (2.0 * jnp.pi * nu)
+    wptn = wp2 / (2.0 * jnp.pi * nu) ** 2
+    eps11m22 = _jffunc(xarg) * wptn * otn ** 2 \
         * jnp.where(rel, krat + 6.0 * thetae, 1.0 + 6.0 * thetae) * sth ** 2
-    eps12 = wp2 * omega0 / (2.0 * jnp.pi * nu) ** 3 * jnp.cos(theta) \
+    eps12 = wptn * otn * jnp.cos(theta) \
         * jnp.where(rel,
                     k0rat - gstep * _shgmfunc(xarg) / bessel.besselk2(it),
                     1.0)

@@ -86,8 +86,11 @@ def _g(name, x, p):
         i0 = int(min(fi, NP - 2))
         w = fi - i0
         row = tables[name][i0] * (1 - w) + tables[name][i0 + 1] * w
-        ix, wx = get_weight(jnp.asarray(logxs_np), lx)
-        t = jnp.asarray(row)
+        # tables follow the QUERY dtype so the mixed-precision (f32)
+        # path is not silently upcast back to f64
+        dt = jnp.result_type(lx)
+        ix, wx = get_weight(jnp.asarray(logxs_np, dtype=dt), lx)
+        t = jnp.asarray(row, dtype=dt)
         return jnp.exp(t[ix] * (1 - wx) + t[ix + 1] * wx)
     logxs = jnp.asarray(logxs_np)
     ps = jnp.asarray(ps_np)

@@ -309,9 +309,12 @@ def _inv4(m):
          e(2, 0) * s3 - e(2, 1) * s1 + e(2, 2) * s0],
     ])
     # conditioning gate: |det| must not be vanishing relative to the
-    # adjugate's scale (inv = adj/det), else the division overflows
+    # adjugate's scale (inv = adj/det), else the division overflows.
+    # Dtype-aware: the det's own roundoff noise floor is ~eps*scale, so
+    # an absolute 1e-12 would pass pure-noise determinants in f32
     scale = jnp.max(jnp.abs(adj), axis=(0, 1))
-    good = jnp.abs(det) > 1e-12 * scale + _fin(det).tiny
+    fin = _fin(det)
+    good = jnp.abs(det) > 100.0 * fin.eps * scale + fin.tiny
     det_safe = jnp.where(good, det, 1.0)
     return adj / det_safe, good
 

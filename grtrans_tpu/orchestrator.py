@@ -117,7 +117,8 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None):
         return driver.render_rays(geo, fv, ei, cfg.ename, freq_list,
                                   mu0_v, alpha, beta, a, cfg.mbh, sp,
                                   iname=cfg.iname, nvals=cfg.nvals,
-                                  standard=cfg.standard, extra=cfg.extra)
+                                  standard=cfg.standard, extra=cfg.extra,
+                                  prec=cfg.prec)
 
     if _cached is not None:
         _render_camera = _cached[1]
