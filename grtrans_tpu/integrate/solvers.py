@@ -340,12 +340,16 @@ def _cell_emission(O, ac, rc, jn, jf, dlam):
     O (4,4,*b); ac (4,*b), rc (3,*b) component stacks; jn/jf (4,1,*b)
     near/far emission column vectors; dlam (*b).  Returns p (4,1,*b).
 
-    Thin/moderate cells: trapezoidal quadrature of int O(s) j(s) ds
-    (2nd order).  Optically thick cells (tau_cell > 0.3): the trapezoid
-    misses the source-function saturation (it gives ~dlam*j instead of
-    j/a), so use the EXACT constant-coefficient result
-    p = (I - O) K^{-1} j_mid, which saturates to S = K^{-1} j.  This is
-    how a photosphere-straddling cell stays correct at any depth."""
+    Shallow cells (max coefficient depth z = max|K| dlam <= 0.3): exact
+    linear-in-j quadrature p = dlam [(phi1-phi2)(Z) jn + phi2(Z) jf]
+    with phi1(Z) = (1-e^-Z)/Z, phi2(Z) = (1-(1+Z)e^-Z)/Z^2 evaluated as
+    4-term Taylor polynomials in the FULL opacity matrix Z = K dlam —
+    O(z^4) per cell (the trapezoid this replaces was O(z^2): a 0.2-deep
+    cell chain accumulated ~3e-3 relative overshoot).  Deep cells: the
+    EXACT constant-coefficient result p = (I - O) K^{-1} j_mid, which
+    saturates to S = K^{-1} j — a photosphere-straddling cell stays
+    correct at any depth.  Deep cells with singular K (pure Faraday
+    rotation, no absorption) keep the trapezoid."""
     p_trap = 0.5 * dlam * (_mm(O, jf) + jn)
     tau_c = jnp.abs(ac[0]) * dlam
     # normalize the solve by the LARGEST coefficient magnitude so matrix
@@ -365,8 +369,21 @@ def _cell_emission(O, ac, rc, jn, jf, dlam):
     iK, inv_ok = _inv4(Kn)
     S = _mm(iK, 0.5 * (jn + jf) * ia0)
     p_exact = S - _mm(O, S)
-    use_exact = (tau_c > 0.3) & inv_ok
-    return jnp.where(use_exact, p_exact, p_trap)
+    # depth in the worst coefficient (absorption OR rotation): the Taylor
+    # branch must see small ||Z||, not just small tau_I
+    zmax = s * dlam
+    Z = Kn * zmax                                         # = K dlam
+    Z2 = _mm(Z, Z)
+    Z3 = _mm(Z2, Z)
+    eye = _eye4(Z)
+    # phi1-phi2 and phi2 Taylor polynomials (see docstring)
+    Wn = 0.5 * eye - Z / 6.0 + Z2 / 24.0 - Z3 / 40.0
+    Wf = 0.5 * eye - Z / 3.0 + Z2 / 8.0 - Z3 / 30.0
+    p_taylor = dlam * (_mm(Wn, jn) + _mm(Wf, jf))
+    deep = zmax > 0.3
+    use_exact = deep & inv_ok
+    return jnp.where(use_exact, p_exact,
+                     jnp.where(deep, p_trap, p_taylor))
 
 
 def _compose(f, g):

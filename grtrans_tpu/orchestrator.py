@@ -54,14 +54,23 @@ def _render_fn_key(cfg, model):
             float(getattr(model, "toffset", 0.0)))
 
 
-def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None):
+def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
+                reuse_geo=False, gdfile=None):
     """Run the full render.  Returns (ivals, ab, freqs) numpy arrays with
     ivals shape (ncams, npix, nvals).
 
     chunk: render the camera in pixel blocks of this size through ONE
     jitted program (the last block is padded to the same shape) — bounds
     device memory for cameras too large to trace in one shot (e.g.
-    1024^2 x 400 samples), at zero recompile cost."""
+    1024^2 x 400 samples), at zero recompile cost.
+
+    reuse_geo: trace each mu-camera's geodesics ONCE (a separate jitted
+    stage) and feed the bundle to every (time, mdot) render of that
+    camera — the reference re-traces per run; for parameter scans
+    (pgriter mdot fitting, SEDs over mdot) this skips the whole
+    semi-analytic solve after the first frame.  gdfile: persist/restore
+    that bundle to disk (the reference's precomputed-geodesic file,
+    geodesics.f90:155-187), validated by a content key."""
     a = cfg.spin
     a1, a2, b1, b2 = cfg.gridvals
     nro, nphi, nup = cfg.nn
@@ -96,17 +105,16 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None):
     # convention) is restored via the t0 pre-pass before sampling.
     slow_light = cfg.nload > 1 and getattr(model, "nt_slices", 1) > 1
 
-    @partial(jax.jit, static_argnames=("mdot_key",))
-    def _render_camera(alpha, beta, l, q2, sm, mu0_v, u0_v, tcur, t0sh,
-                       mdot_key):
-        sp = _source_params(cfg, mdots[mdot_key])
+    def _trace_stage(alpha, beta, l, q2, sm, mu0_v, u0_v):
         if cfg.standard == 2:
-            geo = geokerr.trace_polar(a, mu0_v, alpha, beta, l, q2, sm,
-                                      u0_v, npts=1, phi0=cfg.phi0)
-        else:
-            uout = cfg.uout if _use_uout else None
-            geo = geokerr.trace(a, mu0_v, alpha, beta, l, q2, sm, u0_v,
-                                nup, uout=uout, phi0=cfg.phi0)
+            return geokerr.trace_polar(a, mu0_v, alpha, beta, l, q2, sm,
+                                       u0_v, npts=1, phi0=cfg.phi0)
+        uout = cfg.uout if _use_uout else None
+        return geokerr.trace(a, mu0_v, alpha, beta, l, q2, sm, u0_v,
+                             nup, uout=uout, phi0=cfg.phi0)
+
+    def _render_from_geo(geo, alpha, beta, mu0_v, tcur, t0sh, mdot_key):
+        sp = _source_params(cfg, mdots[mdot_key])
         if slow_light:
             geo = geo._replace(x=geo.x.at[..., 0].add(-t0sh[:, None]))
         if timedep or slow_light:
@@ -120,12 +128,24 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None):
                                   standard=cfg.standard, extra=cfg.extra,
                                   prec=cfg.prec)
 
+    @partial(jax.jit, static_argnames=("mdot_key",))
+    def _render_camera(alpha, beta, l, q2, sm, mu0_v, u0_v, tcur, t0sh,
+                       mdot_key):
+        geo = _trace_stage(alpha, beta, l, q2, sm, mu0_v, u0_v)
+        return _render_from_geo(geo, alpha, beta, mu0_v, tcur, t0sh,
+                                mdot_key)
+
+    _trace_jit = jax.jit(_trace_stage)
+    _render_geo_jit = partial(jax.jit, static_argnames=("mdot_key",))(
+        _render_from_geo)
+
     if _cached is not None:
-        _render_camera = _cached[1]
+        _render_camera, _trace_jit, _render_geo_jit = _cached[1:4]
     else:
         if len(_RENDER_CACHE) >= _RENDER_CACHE_MAX:
             _RENDER_CACHE.pop(next(iter(_RENDER_CACHE)))
-        _RENDER_CACHE[_ck] = (model, _render_camera)
+        _RENDER_CACHE[_ck] = (model, _render_camera, _trace_jit,
+                              _render_geo_jit)
 
     ivals_all = []
     ab = None
@@ -156,11 +176,34 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None):
             t0sh = t0sh - jnp.min(t0sh)
         else:
             t0sh = jnp.zeros_like(cam.l)
+        geo = None
+        if reuse_geo or gdfile is not None:
+            if gdfile is not None:
+                from grtrans_tpu.geodesics import cache as geo_cache
+                key = geo_cache.bundle_key(
+                    a, float(mu0), nup, cfg.uout if _use_uout else None,
+                    cfg.phi0, cfg.standard, cfg.gridvals, nro, nphi,
+                    cfg.nrotype, cfg.rcut)
+                path = (gdfile if len(mus) == 1
+                        else f"{gdfile}.mu{float(mu0):.6f}")
+                geo = geo_cache.load_bundle(path, key=key)
+            if geo is None:
+                geo = jax.tree_util.tree_map(
+                    np.asarray,
+                    _trace_jit(cam.alpha, cam.beta, cam.l, cam.q2,
+                               cam.sm, float(mu0), cam.u0))
+                if gdfile is not None:
+                    geo_cache.save_bundle(path, geo, key=key)
         for it in range(cfg.nt):
             tcur = it * cfg.dt
             for im in range(len(mdots)):
                 npix = cam.alpha.shape[0]
-                if chunk is None or chunk >= npix:
+                if geo is not None and (chunk is None or chunk >= npix):
+                    iv = _render_geo_jit(geo, cam.alpha, cam.beta,
+                                         float(mu0), tcur, t0sh,
+                                         mdot_key=im)
+                    ivals_all.append(np.asarray(iv))
+                elif chunk is None or chunk >= npix:
                     iv = _render_camera(cam.alpha, cam.beta, cam.l,
                                         cam.q2, cam.sm, float(mu0),
                                         cam.u0, tcur, t0sh, mdot_key=im)
