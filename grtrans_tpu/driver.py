@@ -115,7 +115,7 @@ def _extra_channels(geo, fv, ei, j, K, prof, ok):
     tau_i = taus[0]
     # photosphere: sample closest to tau_I = 1 (or ray end if thin)
     dist = jnp.abs(tau_i - 1.0)
-    taudex = jnp.argmin(dist, axis=-1)
+    taudex = jnp.argmin(dist, axis=-1).astype(jnp.int32)
     thin = tau_i[..., -1] < 1.0
     taudex = jnp.where(thin, lam.shape[-1] - 1, taudex)
 

@@ -141,9 +141,9 @@ class NumDisk:
         u1 = jnp.log(self.uniqr)
         nx1, nx2 = self.nr_, self.nphi_
         lx1 = jnp.clip(((lnr - u1[0]) / (u1[-1] - u1[0])
-                        * (nx1 - 1)).astype(int), 0, nx1 - 2)
+                        * (nx1 - 1)).astype(jnp.int32), 0, nx1 - 2)
         dph = self.uniqp[1] - self.uniqp[0]
-        lx2 = jnp.clip(((phi - self.uniqp[0]) / dph).astype(int), 0, nx2 - 2)
+        lx2 = jnp.clip(((phi - self.uniqp[0]) / dph).astype(jnp.int32), 0, nx2 - 2)
         rd = jnp.clip((r - self.uniqr[lx1])
                       / (self.uniqr[lx1 + 1] - self.uniqr[lx1]), 0.0, 1.0)
         pd = jnp.clip((phi - self.uniqp[lx2]) / dph, 0.0, 1.0)

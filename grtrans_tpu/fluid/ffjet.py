@@ -86,9 +86,9 @@ class FFJet:
         x1 = jnp.log(r)
         u1a, u1b = self.uniqx1[0], self.uniqx1[-1]
         u2a, u2b = self.uniqth[0], self.uniqth[-1]
-        lx1 = jnp.clip(((x1 - u1a) / (u1b - u1a) * (nx - 1)).astype(int),
+        lx1 = jnp.clip(((x1 - u1a) / (u1b - u1a) * (nx - 1)).astype(jnp.int32),
                        0, nx - 2)
-        lx2 = jnp.clip(((x2 - u2a) / (u2b - u2a) * (nx - 1)).astype(int),
+        lx2 = jnp.clip(((x2 - u2a) / (u2b - u2a) * (nx - 1)).astype(jnp.int32),
                        0, nx - 2)
         rd = (r - self.uniqr[lx1]) / (self.uniqr[lx1 + 1] - self.uniqr[lx1])
         td = (x2 - self.uniqth[lx2]) / (self.uniqth[lx2 + 1]

@@ -103,12 +103,12 @@ class Grmhd3D:
         u2a, u2b = self.uniqx2[0], self.uniqx2[-1]
         u3a, u3b = self.uniqx3[0], self.uniqx3[-1]
         lx1 = jnp.clip(jnp.floor((x1 - u1a) / (u1b - u1a) * (nx1 - 1))
-                       .astype(int), 0, nx1 - 2)
+                       .astype(jnp.int32), 0, nx1 - 2)
         lx2 = jnp.clip(jnp.floor((x2 - u2a) / (u2b - u2a) * (nx2 - 1))
-                       .astype(int), 0, nx2 - 2)
+                       .astype(jnp.int32), 0, nx2 - 2)
         # phi periodic: lower index may wrap below 0 or above nx3-1
         dph = (u3b - u3a) / jnp.maximum(nx3 - 1, 1)
-        lx3raw = jnp.floor((x3 - u3a) / dph).astype(int)
+        lx3raw = jnp.floor((x3 - u3a) / dph).astype(jnp.int32)
         lx3 = jnp.mod(lx3raw, nx3)
         ux3 = jnp.mod(lx3raw + 1, nx3)
         minph = u3a + lx3raw * dph          # unwrapped cell-left phi
@@ -144,7 +144,7 @@ class Grmhd3D:
             tks = (kerr.bl2ks_time(r, x[..., 0], a)
                    - kerr.bl2ks_time(r[..., :1], 0.0 * r[..., :1], a))
             s = (time - self.toffset + tks) / self.tstep
-            tind = jnp.clip(jnp.floor(s).astype(int),
+            tind = jnp.clip(jnp.floor(s).astype(jnp.int32),
                             0, self.nt_slices - 2)
             ttd = jnp.clip(s - tind, 0.0, 1.0)
         else:

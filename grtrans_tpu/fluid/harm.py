@@ -129,9 +129,9 @@ class Harm:
         u1a, u1b = self.uniqx1[0], self.uniqx1[-1]
         u2a, u2b = self.uniqx2[0], self.uniqx2[-1]
         lx1 = jnp.clip(jnp.floor((x1 - u1a) / (u1b - u1a) * (nx1 - 1))
-                       .astype(int), 0, nx1 - 2)
+                       .astype(jnp.int32), 0, nx1 - 2)
         lx2 = jnp.clip(jnp.floor((x2 - u2a) / (u2b - u2a) * (nx2 - 1))
-                       .astype(int), 0, nx2 - 2)
+                       .astype(jnp.int32), 0, nx2 - 2)
         rd = (r - self.uniqr[lx1]) / (self.uniqr[lx1 + 1] - self.uniqr[lx1])
         td = (th - self.uniqth[lx2]) / (self.uniqth[lx2 + 1]
                                         - self.uniqth[lx2])

@@ -498,9 +498,9 @@ class HarmPI:
         u3a, u3b = self.uniqx3[0], self.uniqx3[-1]
         # nearest-neighbor upper-corner lookup (harmpi_vals :736-737:
         # rd=td=pd=1 selects the ux corner)
-        lx1 = jnp.floor((x1 - u1a) / (u1b - u1a) * (nx1 - 1)).astype(int)
-        lx2 = jnp.floor((x2 - u2a) / (u2b - u2a) * (nx2 - 1)).astype(int)
-        lx3 = jnp.floor((x3 - u3a) / (u3b - u3a) * (nx3 - 1)).astype(int)
+        lx1 = jnp.floor((x1 - u1a) / (u1b - u1a) * (nx1 - 1)).astype(jnp.int32)
+        lx2 = jnp.floor((x2 - u2a) / (u2b - u2a) * (nx2 - 1)).astype(jnp.int32)
+        lx3 = jnp.floor((x3 - u3a) / (u3b - u3a) * (nx3 - 1)).astype(jnp.int32)
         ix1 = jnp.clip(lx1 + 1, 0, nx1 - 1)
         ix2 = jnp.clip(lx2 + 1, 0, nx2 - 1)
         ix3 = jnp.mod(lx3 + 1, nx3)

@@ -235,9 +235,9 @@ class Koral(_KoralBase):
         u1a, u1b = self.uniqx1[0], self.uniqx1[-1]
         u2a, u2b = self.uniqx2[0], self.uniqx2[-1]
         lx1 = jnp.clip(jnp.floor((x1 - u1a) / (u1b - u1a) * (nx1 - 1))
-                       .astype(int), 0, nx1 - 2)
+                       .astype(jnp.int32), 0, nx1 - 2)
         lx2 = jnp.clip(jnp.floor((x2 - u2a) / (u2b - u2a) * (nx2 - 1))
-                       .astype(int), 0, nx2 - 2)
+                       .astype(jnp.int32), 0, nx2 - 2)
         rd = (r - self.uniqr[lx1]) / (self.uniqr[lx1 + 1]
                                       - self.uniqr[lx1])
         # r-dependent theta grid: bounds at the lower-r column
@@ -344,11 +344,11 @@ class Koral3D(_KoralBase):
         u2a, u2b = self.uniqx2[0], self.uniqx2[-1]
         u3a = self.uniqx3[0]
         lx1 = jnp.clip(jnp.floor((x1 - u1a) / (u1b - u1a) * (nx1 - 1))
-                       .astype(int), 0, nx1 - 2)
+                       .astype(jnp.int32), 0, nx1 - 2)
         lx2 = jnp.clip(jnp.floor((x2 - u2a) / (u2b - u2a) * (nx2 - 1))
-                       .astype(int), 0, nx2 - 2)
+                       .astype(jnp.int32), 0, nx2 - 2)
         dph = self.uniqph[1] - self.uniqph[0]
-        lx3raw = jnp.floor((zphi - u3a) / dph).astype(int)
+        lx3raw = jnp.floor((zphi - u3a) / dph).astype(jnp.int32)
         lx3 = jnp.mod(lx3raw, nx3)
         ux3 = jnp.mod(lx3raw + 1, nx3)
         minph = u3a + lx3raw * dph

@@ -228,13 +228,13 @@ class ThickDisk:
         u2a, u2b = self.uniqx2[0], self.uniqx2[-1]
         u3a = self.uniqx3[0]
         lx1 = jnp.clip(jnp.floor((x1 - u1a) / (u1b - u1a) * (nx1 - 1))
-                       .astype(int), 0, nx1 - 2)
+                       .astype(jnp.int32), 0, nx1 - 2)
         lx2 = jnp.clip(jnp.floor((x2 - u2a) / (u2b - u2a) * (nx2 - 1))
-                       .astype(int), 0, nx2 - 2)
+                       .astype(jnp.int32), 0, nx2 - 2)
         dph = 2.0 * jnp.pi * (self.uniqx3[1] - self.uniqx3[0]) \
             if nx3 > 1 else jnp.asarray(2.0 * jnp.pi)
         ph0 = 2.0 * jnp.pi * u3a
-        lx3raw = jnp.floor((zphi - ph0) / dph).astype(int)
+        lx3raw = jnp.floor((zphi - ph0) / dph).astype(jnp.int32)
         lx3 = jnp.mod(lx3raw, nx3)
         ux3 = jnp.mod(lx3raw + 1, nx3)
         pd = jnp.clip((zphi - (ph0 + lx3raw * dph)) / dph, 0.0, 1.0)

@@ -377,7 +377,7 @@ def _cell_emission(O, ac, rc, jn, jf, dlam):
     Z3 = _mm(Z2, Z)
     eye = _eye4(Z)
     # phi1-phi2 and phi2 Taylor polynomials (see docstring)
-    Wn = 0.5 * eye - Z / 6.0 + Z2 / 24.0 - Z3 / 40.0
+    Wn = 0.5 * eye - Z / 6.0 + Z2 / 24.0 - Z3 / 120.0
     Wf = 0.5 * eye - Z / 3.0 + Z2 / 8.0 - Z3 / 30.0
     p_taylor = dlam * (_mm(Wn, jn) + _mm(Wf, jf))
     deep = zmax > 0.3
@@ -411,7 +411,18 @@ def _scan_to_observer(O, p, I0=None):
     # order cells first-applied-first: reverse along the cell axis
     Or = jnp.flip(O, axis=-1)
     pr = jnp.flip(p, axis=-1)
-    A, b = jax.lax.associative_scan(_compose, (Or, pr), axis=O.ndim - 1)
+    # prefix composition r_m = e_m o ... o e_1 o e_0 with the EARLIER
+    # (= farther-from-observer) element applied first: the scan's left
+    # operand is the accumulated prefix of earlier cells, so the combine
+    # must be (g, f) -> f o g.  (Round-2 regression: using _compose
+    # directly applied the far cells LAST — undetectable on constant /
+    # commuting coefficient profiles, which is what every closed-form
+    # test uses, but up to ~2.4x wrong on rays whose absorption and
+    # emission peak at different depths; caught by cross-checking the
+    # independent sequential spherical-Stokes integrator and scipy LSODA
+    # on a SARIAF ray, and confirmed by exact NumPy composition.)
+    A, b = jax.lax.associative_scan(lambda g, f: _compose(f, g),
+                                    (Or, pr), axis=O.ndim - 1)
     if I0 is None:
         prof = b[:, 0]                                   # (4, npix, ncell)
     else:
@@ -593,61 +604,135 @@ def quadrature_solve(lam, j, K, mask=None, max_tau=MAX_TAU):
                             z[..., None]], axis=-1)
 
 
-def _sph_rhs(y, jv, Kv):
-    """RHS of the transfer equation in spherical-Stokes variables
-    y = (I, p, phi, psi) with (Q,U,V) = p (cos phi sin psi, sin phi
-    sin psi, cos psi) — transcription of the reference's nonlinear form
-    (radtrans_rhs_form_sph, radtrans_integrate.f90:487-513).
+def _phi1(z):
+    """phi1(z) = (1 - e^-z)/z, the affine-exact update weight; grad-safe
+    at z = 0 (Taylor branch, double-where so the division never sees a
+    small denominator)."""
+    small = jnp.abs(z) < 1e-4
+    zs = jnp.where(small, 1.0, z)
+    return jnp.where(small, 1.0 - z / 2.0 + z * z / 6.0,
+                     -jnp.expm1(-zs) / zs)
 
-    jv: (..., 4) emission; Kv: (..., 7) opacities; y: (..., 4).
-    Guarded against the p -> 0 / sin(psi) -> 0 coordinate
-    singularities (the angles are undefined there; bounded garbage in
-    them is harmless because Q,U,V = p*(...) vanishes with p)."""
-    I, p, phi, psi = (y[..., i] for i in range(4))
-    j1, j2, j3, j4 = (jv[..., i] for i in range(4))
-    K1, K2, K3, K4 = (Kv[..., i] for i in range(4))
-    K5, K6, K7 = (Kv[..., i] for i in range(4, 7))
-    cphi, sphi = jnp.cos(phi), jnp.sin(phi)
-    cpsi, spsi = jnp.cos(psi), jnp.sin(psi)
+
+def _sph_substep(I, P, jv, Kv, h):
+    """One Strang-split substep of the polarized transfer equation,
+    exact in each split part — unconditionally stable at ANY optical /
+    Faraday depth (an explicit RK here explodes on cells with
+    K dlam >> 1, the failure mode of round 2's fixed-step RK4; the
+    reference reaches stability through LSODA's adaptive implicit
+    stepping instead, radtrans_integrate.f90:468-613).
+
+    State: I (*b,), P = (Q,U,V) (*b, 3).  The transfer equation splits
+    into (i) Faraday rotation dP/ds = rho x P — an exact rigid rotation
+    (Rodrigues) about rho = (rhoQ, rhoU, rhoV); and (ii) absorption/
+    emission/exchange d(I,P)/ds = (jI, jp) - aI (I,P) - a (P.a^, I a^),
+    a = (aQ, aU, aV) — diagonal in the eigenbasis {u = I + P_par,
+    v = I - P_par, P_perp} with decay rates {aI + |a|, aI - |a|, aI},
+    each updated by the exact scalar affine solution x -> x e^(-lam h)
+    + jeff h phi1(lam h).  The passivity clamp guarantees |a| <= aI so
+    every rate is >= 0: each substep is a contraction plus bounded
+    source — no growth, no NaN, at any stiffness.  Composition:
+    half-rotation, full exchange, half-rotation (Strang, O(h^2)
+    commutator error; each part exact)."""
     tiny = _fin(I).tiny ** 0.5
-    p_s = jnp.where(jnp.abs(p) > tiny, p, tiny)
-    spsi_s = jnp.where(jnp.abs(spsi) > 1e-8, spsi, 1e-8)
-    dI = j1 - K1 * I - (cphi * spsi * K2 + sphi * spsi * K3
-                        + cpsi * K4) * p
-    dp = (-K1 * p - (cphi * K2 + sphi * K3) * spsi * I
-          + spsi * (cphi * j2 + sphi * j3) + cpsi * (j4 - I * K4))
-    dphi = (1.0 / (p_s * spsi_s)
-            * (cphi * (j3 - I * K3) + sphi * (I * K2 - j2))
-            - cpsi / spsi_s * (cphi * K5 + sphi * K6) + K7)
-    dpsi = (1.0 / p_s * (spsi * (I * K4 - j4)
-                         + cpsi * (cphi * (j2 - K2 * I)
-                                   + sphi * (j3 - I * K3)))
-            + cphi * K6 - sphi * K5)
-    # the angle rates are unbounded at p -> 0; cap them so an RK4 step
-    # cannot fling the angles across many revolutions in one substep
-    cap = 1e3
-    dphi = jnp.clip(dphi, -cap, cap)
-    dpsi = jnp.clip(dpsi, -cap, cap)
-    return jnp.stack([dI, dp, dphi, dpsi], axis=-1)
+    jI = jv[..., 0]
+    jp = jv[..., 1:4]
+    aI = Kv[..., 0]
+    av = Kv[..., 1:4]
+    rho = Kv[..., 4:7]
+
+    rmag = jnp.sqrt(jnp.sum(rho * rho, axis=-1))
+    hasr = rmag > tiny
+    rhat = jnp.where(hasr[..., None],
+                     rho / jnp.where(hasr, rmag, 1.0)[..., None], 0.0)
+
+    def rotate(P, ang_h):
+        ang = rmag * ang_h
+        c = jnp.cos(ang)[..., None]
+        s = jnp.sin(ang)[..., None]
+        ndP = jnp.sum(rhat * P, axis=-1, keepdims=True)
+        Pr = c * P + s * jnp.cross(rhat, P) + (1.0 - c) * ndP * rhat
+        return jnp.where(hasr[..., None], Pr, P)
+
+    P = rotate(P, 0.5 * h)
+
+    # secular (rotating-frame) averaging: over a substep the coupling
+    # vector a and the polarized emission j_pol ROTATE at the Faraday
+    # rate relative to P; their effective (window-averaged) values in
+    # the frame aligned at the substep midpoint are a_par + sinc(th/2)
+    # a_perp (th = |rho| h; the antisymmetric rho x a term cancels by
+    # symmetry).  This is the classic fast-oscillation average: exact
+    # for pure rotation, exact for pure exchange, and captures the
+    # Faraday depolarization of the coupling when th >> 1 — without it
+    # the Strang commutator error grows as (|rho| h)^2 |a| h and the
+    # round-2 integrator needed |rho| h << 1 to be accurate.
+    thh = 0.5 * rmag * h
+    smallth = jnp.abs(thh) < 1e-4
+    ths = jnp.where(smallth, 1.0, thh)
+    sinc = jnp.where(smallth, 1.0 - thh * thh / 6.0,
+                     jnp.sin(ths) / ths)
+
+    def secular(w):
+        wpar = jnp.sum(rhat * w, axis=-1, keepdims=True) * rhat
+        return wpar + sinc[..., None] * (w - wpar)
+
+    av = jnp.where(hasr[..., None], secular(av), av)
+    jp = jnp.where(hasr[..., None], secular(jp), jp)
+
+    amag2 = jnp.sum(av * av, axis=-1)
+    hasa = amag2 > tiny * tiny
+    amag = jnp.sqrt(jnp.where(hasa, amag2, 1.0))
+    amag = jnp.where(hasa, amag, 0.0)
+    ah = jnp.where(hasa[..., None], av / jnp.where(hasa, amag,
+                                                   1.0)[..., None], 0.0)
+    Ppar = jnp.sum(ah * P, axis=-1)
+    Pperp = P - Ppar[..., None] * ah
+    jpar = jnp.sum(ah * jp, axis=-1)
+    jperp = jp - jpar[..., None] * ah
+
+    def affine(x, jeff, lam):
+        z = lam * h
+        if x.ndim > z.ndim:                  # vector state (P_perp)
+            z = z[..., None]
+            hh = h[..., None] if hasattr(h, "ndim") and \
+                jnp.ndim(h) < x.ndim else h
+        else:
+            hh = h
+        return x * jnp.exp(-z) + jeff * hh * _phi1(z)
+
+    u = affine(I + Ppar, jI + jpar, aI + amag)
+    v = affine(I - Ppar, jI - jpar, aI - amag)
+    Pperp = affine(Pperp, jperp, aI)
+    I = 0.5 * (u + v)
+    Ppar = 0.5 * (u - v)
+    P = Pperp + Ppar[..., None] * ah
+
+    P = rotate(P, 0.5 * h)
+    return I, P
 
 
 @partial(jax.jit, static_argnames=("nsub",))
 def sphstokes_solve(lam, j, K, mask=None, max_tau=MAX_TAU, nsub=4):
     """Spherical-Stokes integrator (reference iflag=3 / iname='lsodasph',
-    radtrans_integrate.f90:468-613): integrates the transfer equation in
-    the nonlinear variables (I, p, phi, psi) — useful when linear-Stokes
-    Faraday stiffness matters (p and the rotation angles evolve smoothly
-    where Q,U oscillate).  The reference drives LSODA with a relaxed
-    tolerance; here: RK4 with `nsub` substeps per cell, batched over all
-    pixels via lax.scan along the ray — the state is nonlinear so the
-    associative-scan trick of the linear solvers does not apply.
+    radtrans_integrate.f90:468-613): the reference integrates the
+    nonlinear variables (I, p, phi, psi) with adaptive LSODA because the
+    LINEAR Stokes form is stiff (Q, U oscillate at the Faraday rate
+    where p and the rotation angles evolve smoothly).  TPU-native
+    redesign capturing the same structure: the polarization VECTOR
+    P = (Q, U, V) marches by exponential operator splitting — Faraday
+    rotation applied as an exact rigid rotation of P (= the smooth
+    evolution of the spherical angles), amplitudes (I, |P|) by exact
+    scalar exponential decay/source updates (see _sph_substep).
+    Unconditionally stable: no step-size restriction at any optical or
+    Faraday depth (round 2's explicit RK4 overflowed on cgs-scaled
+    SARIAF cells with K dlam ~ 1e3).  Sequential lax.scan over cells
+    batched over all pixels; `nsub` substeps per cell with midpoint
+    coefficients refine within-cell variation.
 
-    Returns (npix, npts, 4) LINEAR Stokes profile (index 0 = observer,
-    converted back from the spherical variables)."""
+    Returns (npix, npts, 4) LINEAR Stokes profile (index 0 = observer)."""
     j, K = passivity_clamp(j, K)
     tau, cell_ok = _cell_tau_mask(lam, K, mask, max_tau)
     dlam = lam[..., 1:] - lam[..., :-1]
-    npix, npts = lam.shape
 
     # far -> observer ordering for the sequential march
     jr = jnp.flip(j, axis=-2)
@@ -655,57 +740,35 @@ def sphstokes_solve(lam, j, K, mask=None, max_tau=MAX_TAU, nsub=4):
     dr = jnp.flip(dlam, axis=-1)
     okr = jnp.flip(cell_ok, axis=-1)
 
-    # seed: zero intensity; angles pointing along the far cell's
-    # polarized emission (the reference seeds zeros and relies on
-    # LSODA's damping; a directional seed avoids the startup transient)
-    j_far = jr[..., 0, :]
-    tiny = _fin(lam).tiny ** 0.5
-    lp = jnp.sqrt(j_far[..., 1] ** 2 + j_far[..., 2] ** 2)
-    phi0 = jnp.arctan2(j_far[..., 2], j_far[..., 1] + tiny)
-    psi0 = jnp.arctan2(lp + tiny, j_far[..., 3])
-    y0 = jnp.stack([jnp.zeros_like(phi0), jnp.full_like(phi0, tiny),
-                    phi0, psi0], axis=-1)
+    I0 = jnp.zeros(lam.shape[:1], dtype=lam.dtype)
+    P0 = jnp.zeros(lam.shape[:1] + (3,), dtype=lam.dtype)
 
-    def cell(y, inputs):
+    def cell(carry, inputs):
+        I, P = carry
         jn, jf, Kn, Kf, d, ok = inputs
-        h = d[..., None] / nsub
-
-        def sub(carry, f):
-            y = carry
-            jm0 = jn * (1 - f) + jf * f
-            jm1 = jn * (1 - f - 0.5 / nsub) + jf * (f + 0.5 / nsub)
-            jm2 = jn * (1 - f - 1.0 / nsub) + jf * (f + 1.0 / nsub)
-            Km0 = Kn * (1 - f) + Kf * f
-            Km1 = Kn * (1 - f - 0.5 / nsub) + Kf * (f + 0.5 / nsub)
-            Km2 = Kn * (1 - f - 1.0 / nsub) + Kf * (f + 1.0 / nsub)
-            k1 = _sph_rhs(y, jm0, Km0)
-            k2 = _sph_rhs(y + 0.5 * h * k1, jm1, Km1)
-            k3 = _sph_rhs(y + 0.5 * h * k2, jm1, Km1)
-            k4 = _sph_rhs(y + h * k3, jm2, Km2)
-            return y + h / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4), None
-
-        ynew = y
+        h = d / nsub
+        In, Pn = I, P
         for i in range(nsub):
-            ynew, _ = sub(ynew, i / nsub)
-        # keep I, p physical
-        ynew = ynew.at[..., 0].set(jnp.maximum(ynew[..., 0], 0.0))
-        ynew = ynew.at[..., 1].set(jnp.maximum(ynew[..., 1], 0.0))
-        y = jnp.where(ok[..., None], ynew, y)
-        return y, y
+            f = (i + 0.5) / nsub                 # substep midpoint
+            jm = jn * (1 - f) + jf * f
+            Km = Kn * (1 - f) + Kf * f
+            In, Pn = _sph_substep(In, Pn, jm, Km, h)
+        In = jnp.maximum(In, 0.0)
+        I = jnp.where(ok, In, I)
+        P = jnp.where(ok[..., None], Pn, P)
+        y = jnp.concatenate([I[..., None], P], axis=-1)
+        return (I, P), y
 
     # inputs ordered far cell first; "near/far" of cell i along the
     # march: near = sample i+1 (farther from observer)
     inputs = (jr[..., :-1, :].swapaxes(0, 1), jr[..., 1:, :].swapaxes(0, 1),
               Kr[..., :-1, :].swapaxes(0, 1), Kr[..., 1:, :].swapaxes(0, 1),
               dr.swapaxes(0, 1), okr.swapaxes(0, 1))
-    yend, ys = jax.lax.scan(cell, y0, inputs)
+    _, ys = jax.lax.scan(cell, (I0, P0), inputs)
+    y0 = jnp.concatenate([I0[..., None], P0], axis=-1)
     ys = jnp.concatenate([y0[None], ys], axis=0)     # (npts, npix, 4)
     ys = jnp.flip(ys.swapaxes(0, 1), axis=-2)        # (npix, npts, 4)
-    I, p, phi, psi = (ys[..., i] for i in range(4))
-    Q = p * jnp.cos(phi) * jnp.sin(psi)
-    U = p * jnp.sin(phi) * jnp.sin(psi)
-    V = p * jnp.cos(psi)
-    return jnp.stack([I, Q, U, V], axis=-1)
+    return ys
 
 
 def integrate(lam, j, K, method="formal", mask=None, max_tau=MAX_TAU,

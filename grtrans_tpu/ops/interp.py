@@ -17,7 +17,10 @@ def get_weight(xarr, x):
     w in [0,1] the linear weight of the ix+1 point.
     Parity: reference interpolate.f90:67-106."""
     n = xarr.shape[0]
-    ix = jnp.clip(jnp.searchsorted(xarr, x, side="right") - 1, 0, n - 2)
+    # int32 indices: under x64 mode searchsorted yields int64, whose TPU
+    # gather lowering is emulated — 100x compile times and slower runs
+    ix = jnp.clip(jnp.searchsorted(xarr, x, side="right").astype(jnp.int32)
+                  - 1, 0, n - 2)
     x0 = xarr[ix]
     x1 = xarr[ix + 1]
     w = (x - x0) / jnp.where(x1 == x0, 1.0, x1 - x0)

@@ -113,8 +113,11 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
         return geokerr.trace(a, mu0_v, alpha, beta, l, q2, sm, u0_v,
                              nup, uout=uout, phi0=cfg.phi0)
 
-    def _render_from_geo(geo, alpha, beta, mu0_v, tcur, t0sh, mdot_key):
-        sp = _source_params(cfg, mdots[mdot_key])
+    def _render_from_geo(geo, alpha, beta, mu0_v, tcur, t0sh, mdot):
+        # mdot is a TRACED scalar: an nmdot>1 SED scan (or a pgriter fit)
+        # re-uses ONE compiled program for every value (the reference
+        # scans mdot inside the hot loop, grtrans_driver.f90:134-157)
+        sp = _source_params(cfg, mdot)
         if slow_light:
             geo = geo._replace(x=geo.x.at[..., 0].add(-t0sh[:, None]))
         if timedep or slow_light:
@@ -128,16 +131,14 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
                                   standard=cfg.standard, extra=cfg.extra,
                                   prec=cfg.prec)
 
-    @partial(jax.jit, static_argnames=("mdot_key",))
+    @jax.jit
     def _render_camera(alpha, beta, l, q2, sm, mu0_v, u0_v, tcur, t0sh,
-                       mdot_key):
+                       mdot):
         geo = _trace_stage(alpha, beta, l, q2, sm, mu0_v, u0_v)
-        return _render_from_geo(geo, alpha, beta, mu0_v, tcur, t0sh,
-                                mdot_key)
+        return _render_from_geo(geo, alpha, beta, mu0_v, tcur, t0sh, mdot)
 
     _trace_jit = jax.jit(_trace_stage)
-    _render_geo_jit = partial(jax.jit, static_argnames=("mdot_key",))(
-        _render_from_geo)
+    _render_geo_jit = jax.jit(_render_from_geo)
 
     if _cached is not None:
         _render_camera, _trace_jit, _render_geo_jit = _cached[1:4]
@@ -176,6 +177,18 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
             t0sh = t0sh - jnp.min(t0sh)
         else:
             t0sh = jnp.zeros_like(cam.l)
+        npix = cam.alpha.shape[0]
+        chunked = chunk is not None and chunk < npix
+
+        def _blk(x, lo2, hi2, csz):
+            """Pixel block [lo2:hi2) padded (by edge replication) to csz."""
+            b = x[lo2:hi2]
+            pad = csz - (hi2 - lo2)
+            if pad:
+                b = jnp.concatenate(
+                    [b, jnp.broadcast_to(b[-1:], (pad,) + b.shape[1:])])
+            return b
+
         geo = None
         if reuse_geo or gdfile is not None:
             if gdfile is not None:
@@ -183,50 +196,72 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
                 key = geo_cache.bundle_key(
                     a, float(mu0), nup, cfg.uout if _use_uout else None,
                     cfg.phi0, cfg.standard, cfg.gridvals, nro, nphi,
-                    cfg.nrotype, cfg.rcut)
+                    cfg.nrotype, cfg.rcut, i1=cfg.i1, i2=cfg.i2)
                 path = (gdfile if len(mus) == 1
                         else f"{gdfile}.mu{float(mu0):.6f}")
                 geo = geo_cache.load_bundle(path, key=key)
+                if geo is not None and geo.x.shape[0] != npix:
+                    geo = None          # stale bundle from another camera
             if geo is None:
-                geo = jax.tree_util.tree_map(
-                    np.asarray,
-                    _trace_jit(cam.alpha, cam.beta, cam.l, cam.q2,
-                               cam.sm, float(mu0), cam.u0))
+                if chunked:
+                    # chunk the trace too: device memory stays bounded by
+                    # the chunk size, bundle assembled on the host
+                    parts = []
+                    for lo2 in range(0, npix, chunk):
+                        hi2 = min(lo2 + chunk, npix)
+                        g = _trace_jit(_blk(cam.alpha, lo2, hi2, chunk),
+                                       _blk(cam.beta, lo2, hi2, chunk),
+                                       _blk(cam.l, lo2, hi2, chunk),
+                                       _blk(cam.q2, lo2, hi2, chunk),
+                                       _blk(cam.sm, lo2, hi2, chunk),
+                                       float(mu0), cam.u0)
+                        parts.append(jax.tree_util.tree_map(
+                            lambda x: np.asarray(x)[:hi2 - lo2], g))
+                    geo = jax.tree_util.tree_map(
+                        lambda *xs: np.concatenate(xs, axis=0), *parts)
+                else:
+                    geo = jax.tree_util.tree_map(
+                        np.asarray,
+                        _trace_jit(cam.alpha, cam.beta, cam.l, cam.q2,
+                                   cam.sm, float(mu0), cam.u0))
                 if gdfile is not None:
                     geo_cache.save_bundle(path, geo, key=key)
         for it in range(cfg.nt):
             tcur = it * cfg.dt
             for im in range(len(mdots)):
-                npix = cam.alpha.shape[0]
-                if geo is not None and (chunk is None or chunk >= npix):
+                md = float(mdots[im])
+                if geo is not None and not chunked:
                     iv = _render_geo_jit(geo, cam.alpha, cam.beta,
-                                         float(mu0), tcur, t0sh,
-                                         mdot_key=im)
+                                         float(mu0), tcur, t0sh, md)
                     ivals_all.append(np.asarray(iv))
-                elif chunk is None or chunk >= npix:
+                elif not chunked:
                     iv = _render_camera(cam.alpha, cam.beta, cam.l,
                                         cam.q2, cam.sm, float(mu0),
-                                        cam.u0, tcur, t0sh, mdot_key=im)
+                                        cam.u0, tcur, t0sh, md)
                     ivals_all.append(np.asarray(iv))
                 else:
                     parts = []
                     for lo2 in range(0, npix, chunk):
                         hi2 = min(lo2 + chunk, npix)
-                        pad = chunk - (hi2 - lo2)
-
-                        def blk(x):
-                            b = x[lo2:hi2]
-                            if pad:
-                                b = jnp.concatenate(
-                                    [b, jnp.broadcast_to(b[-1:],
-                                                         (pad,) + b.shape[1:])])
-                            return b
-
-                        iv = _render_camera(blk(cam.alpha), blk(cam.beta),
-                                            blk(cam.l), blk(cam.q2),
-                                            blk(cam.sm), float(mu0),
-                                            cam.u0, tcur, blk(t0sh),
-                                            mdot_key=im)
+                        if geo is not None:
+                            # feed the saved bundle's pixel block — no
+                            # re-trace per (time, mdot)
+                            gblk = jax.tree_util.tree_map(
+                                lambda x: _blk(x, lo2, hi2, chunk), geo)
+                            iv = _render_geo_jit(
+                                gblk, _blk(cam.alpha, lo2, hi2, chunk),
+                                _blk(cam.beta, lo2, hi2, chunk),
+                                float(mu0), tcur,
+                                _blk(t0sh, lo2, hi2, chunk), md)
+                        else:
+                            iv = _render_camera(
+                                _blk(cam.alpha, lo2, hi2, chunk),
+                                _blk(cam.beta, lo2, hi2, chunk),
+                                _blk(cam.l, lo2, hi2, chunk),
+                                _blk(cam.q2, lo2, hi2, chunk),
+                                _blk(cam.sm, lo2, hi2, chunk),
+                                float(mu0), cam.u0, tcur,
+                                _blk(t0sh, lo2, hi2, chunk), md)
                         parts.append(np.asarray(iv)[:, :hi2 - lo2])
                     ivals_all.append(np.concatenate(parts, axis=1))
     if verbose:
