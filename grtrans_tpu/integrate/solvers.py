@@ -107,12 +107,17 @@ def opacity_matrix(a, rho):
     return jnp.moveaxis(m, (0, 1), (-2, -1))
 
 
-def _calc_O(a, rho, dx):
+def _calc_O(a, rho, dx, dx64=None):
     """Analytic matrix exponential exp(-K dx) of the constant opacity
     matrix (Landi Degl'Innocenti 1985).  radtrans_integrate.f90:615-683,
     rewritten in overflow-safe exponential form.
 
     a: 4-tuple, rho: 3-tuple of batch arrays; dx batch array.
+    dx64: optional f64 copy of dx for mixed-precision runs — the
+    Faraday phase lam2*dx reaches 1e3-1e6 radians on rotation-thick
+    cells, beyond f32's absolute phase resolution; computing the phase
+    product in f64 and reducing mod 2pi before the f32 cos/sin keeps
+    the per-cell phase error ~1e-7*phase instead of O(1).
     Returns (4, 4, *batch)."""
     aI = a[0]
     fin = _fin(aI)
@@ -207,8 +212,15 @@ def _calc_O(a, rho, dx):
     ecp = 0.5 * (jnp.exp(arg_p) + jnp.exp(arg_m))
     ecm = 0.5 * (jnp.exp(arg_p) - jnp.exp(arg_m))
     eno = jnp.exp(jnp.clip(-aI * dx, lo, 60.0))
-    cs = jnp.cos(lam2 * dx) * eno
-    sn = jnp.sin(lam2 * dx) * eno
+    if dx64 is not None and lam2.dtype != jnp.float64:
+        two_pi = 2.0 * jnp.pi
+        ph64 = lam2.astype(jnp.float64) * dx64
+        ph64 = ph64 - two_pi * jnp.floor(ph64 / two_pi)
+        ph = ph64.astype(lam2.dtype)
+    else:
+        ph = lam2 * dx
+    cs = jnp.cos(ph) * eno
+    sn = jnp.sin(ph) * eno
     eye = _eye4(M2)
     O = (0.5 * (ecp + cs) * eye
          - (sn * ith) * M2
@@ -459,31 +471,53 @@ def _cell_tau_mask(lam, K, mask, max_tau):
     return tau, cell_ok
 
 
-@partial(jax.jit, static_argnames=("substeps",))
-def formal_solve(lam, j, K, mask=None, max_tau=MAX_TAU, I0=None, substeps=1):
+@partial(jax.jit, static_argnames=("substeps", "ref_firstorder"))
+def formal_solve(lam, j, K, mask=None, max_tau=MAX_TAU, I0=None, substeps=1,
+                 ref_firstorder=False):
     """Matricant/O-matrix solver (reference iflag=2, :844-876).
 
     lam: (npix, npts) affine parameter increasing along trace;
     j: (npix, npts, 4); K: (npix, npts, 7); mask: (npix, npts) validity.
-    Coefficients are taken piecewise-constant on each cell using the
-    observer-side sample (reference convention).  substeps>1 subdivides
-    each cell with linearly interpolated coefficients ('lsoda' mode).
+    Coefficients are midpoint-averaged per cell with exact linear-in-j
+    emission (2nd order); substeps>1 subdivides each cell with linearly
+    interpolated coefficients ('lsoda' mode).
+
+    ref_firstorder=True reproduces the reference's exact discretization
+    (radtrans_integrate.f90:862-874): coefficients AND emission from the
+    observer-side sample only, emission attenuated through the whole
+    cell, I_new = O(a_near dx) @ (j_near dx + I_prev) — 1st order.
+    Exists for golden-image attribution (docs/FFJET_GOLDEN_ANALYSIS.md),
+    not production use.
     Returns (npix, npts, 4) Stokes profile (index 0 = observer)."""
     j, K = passivity_clamp(j, K)
+    # mixed precision: coefficients arriving in f32 run the whole 4x4
+    # cell algebra and scan in f32 (v5e has no native f64 — every f64
+    # op is emulated) while the affine parameter stays f64 so optical /
+    # Faraday depths accumulate exactly; the rotation phase is formed
+    # in f64 and range-reduced before the f32 trig (see _calc_O)
+    mixed = (j.dtype == jnp.float32) and (lam.dtype == jnp.float64)
+    dlam64 = (lam[..., 1:] - lam[..., :-1]).astype(jnp.float64) \
+        if mixed else None
     # component-first layout: (4, npix, npts) / (3, npix, npts)
     a = jnp.moveaxis(K[..., 0:4], -1, 0)
     rho = jnp.moveaxis(K[..., 4:7], -1, 0)
     jc = jnp.moveaxis(j, -1, 0)[:, None]                 # (4,1,npix,npts)
+    lam = lam.astype(j.dtype) if mixed else lam
     dlam = lam[..., 1:] - lam[..., :-1]                  # (npix, ncell)
     tau, cell_ok = _cell_tau_mask(lam, K, mask, max_tau)
 
-    if substeps == 1:
+    if ref_firstorder:
+        ac = tuple(c[..., :-1] for c in a)
+        rc = tuple(c[..., :-1] for c in rho)
+        O = _calc_O(ac, rc, dlam, dx64=dlam64)
+        p = _mm(O, jc[..., :-1] * dlam)
+    elif substeps == 1:
         # midpoint opacity + trapezoidal emission: 2nd order per cell
         # (the reference uses the observer-side sample and is 1st order,
         # radtrans_integrate.f90:869)
         ac = 0.5 * (a[..., :-1] + a[..., 1:])
         rc = 0.5 * (rho[..., :-1] + rho[..., 1:])
-        O = _calc_O(tuple(ac), tuple(rc), dlam)
+        O = _calc_O(tuple(ac), tuple(rc), dlam, dx64=dlam64)
         jn = jc[..., :-1]
         jf = jc[..., 1:]
         p = _cell_emission(O, ac, rc, jn, jf, dlam)
@@ -494,7 +528,8 @@ def formal_solve(lam, j, K, mask=None, max_tau=MAX_TAU, I0=None, substeps=1):
         asub = a[..., :-1, None] * (1 - fr) + a[..., 1:, None] * fr
         rsub = rho[..., :-1, None] * (1 - fr) + rho[..., 1:, None] * fr
         dsub = dlam[..., None] / substeps                # (npix, ncell, 1)
-        Os = _calc_O(tuple(asub), tuple(rsub), dsub)
+        dsub64 = dlam64[..., None] / substeps if mixed else None
+        Os = _calc_O(tuple(asub), tuple(rsub), dsub, dx64=dsub64)
         # emission on substep edges
         fre = jnp.arange(substeps + 1) / substeps
         jedge = jc[..., :-1, None] * (1 - fre) + jc[..., 1:, None] * fre

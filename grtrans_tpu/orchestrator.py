@@ -120,10 +120,17 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
         sp = _source_params(cfg, mdot)
         if slow_light:
             geo = geo._replace(x=geo.x.at[..., 0].add(-t0sh[:, None]))
-        if timedep or slow_light:
-            fv = model.vals(geo.x, geo.k, a, time=tcur)
+        # mixed precision: fluid sampling (table gathers + local frame
+        # algebra) runs in f32; the geodesic bundle itself stays f64
+        if cfg.prec == "mixed":
+            xs = geo.x.astype(jnp.float32)
+            ks = geo.k.astype(jnp.float32)
         else:
-            fv = model.vals(geo.x, geo.k, a)
+            xs, ks = geo.x, geo.k
+        if timedep or slow_light:
+            fv = model.vals(xs, ks, a, time=tcur)
+        else:
+            fv = model.vals(xs, ks, a)
         ei = model.convert(fv, sp)
         return driver.render_rays(geo, fv, ei, cfg.ename, freq_list,
                                   mu0_v, alpha, beta, a, cfg.mbh, sp,

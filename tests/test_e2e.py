@@ -5,6 +5,9 @@ import numpy as np
 from grtrans_tpu.config import GrtransConfig
 from grtrans_tpu.orchestrator import grtrans_run
 from grtrans_tpu import constants as pc
+import pytest
+
+pytestmark = pytest.mark.slow  # full-res e2e: fast tier = -m 'not slow'
 
 
 class TestThinDisk:

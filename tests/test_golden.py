@@ -11,6 +11,8 @@ import pickle
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-res e2e: fast tier = -m 'not slow'
+
 REF = "/root/reference"
 
 skip_golden = pytest.mark.skipif(

@@ -1,0 +1,30 @@
+"""Inverse rendering (BASELINE.json configs[4]): recover (spin, n0)
+from a target polarized image by gradient descent through the FULL
+renderer — geodesics, fluid, tetrad, coefficients, Stokes transfer.
+The reference Fortran cannot do this at all (its pgriter does 1-D
+secant iteration on mdot over repeated forward renders)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from grtrans_tpu.tools.invert import InverseProblem, fit_image
+import pytest
+
+pytestmark = pytest.mark.slow  # full-res e2e: fast tier = -m 'not slow'
+
+
+def test_recover_spin_and_density():
+    prob = InverseProblem(fname="SARIAF", ename="POLSYNCHTH",
+                          iname="formal", nn=(6, 6, 24),
+                          gridvals=(-10.0, 10.0, -10.0, 10.0),
+                          fixed=dict(mu0=0.5, t0=1.6e11, beta=10.0))
+    truth = dict(spin=0.9, n0=4e7)
+    target = prob.render({k: jnp.asarray(v) for k, v in truth.items()})
+    assert np.isfinite(np.asarray(target)).all()
+
+    start = dict(spin=0.55, n0=1.2e7)           # far-off start
+    best, losses = fit_image(prob, target, start, steps=45, lr=0.1)
+
+    assert min(losses) < 0.1 * losses[0], (losses[0], min(losses))
+    assert abs(best["spin"] - truth["spin"]) < 0.08, best
+    assert abs(best["n0"] / truth["n0"] - 1.0) < 0.1, best

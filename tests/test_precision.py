@@ -6,6 +6,9 @@ import numpy as np
 
 from grtrans_tpu.config import GrtransConfig
 from grtrans_tpu.orchestrator import grtrans_run
+import pytest
+
+pytestmark = pytest.mark.slow  # full-res e2e: fast tier = -m 'not slow'
 
 
 def _cfg(prec, **kw):

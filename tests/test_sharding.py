@@ -84,3 +84,52 @@ def test_sharded_gradient_matches_unsharded():
         r, s = float(g_ref[k]), float(g_sh[k])
         assert np.isfinite(r) and np.isfinite(s)
         np.testing.assert_allclose(s, r, rtol=1e-10)
+
+
+class TestMultiHostEntryPoints:
+    """Multi-host sharding-spec logic (parallel/sharding.py): pure index
+    math + the halo ppermute, testable on the 8-device CPU mesh."""
+
+    def test_host_pixel_slice_partition(self):
+        from grtrans_tpu.parallel.sharding import host_pixel_slice
+        npix = 1000
+        covered = []
+        for pid in range(7):
+            lo, hi = host_pixel_slice(npix, process_id=pid,
+                                      process_count=7)
+            covered.extend(range(lo, hi))
+        assert covered == list(range(npix))     # exact disjoint cover
+
+    def test_snapshot_shard_spec(self):
+        from grtrans_tpu.parallel.sharding import (pixel_mesh,
+                                                   snapshot_shard_spec)
+        mesh = pixel_mesh(NDEV)
+        sh = snapshot_shard_spec(mesh, ndim=4, axis=2)
+        grid = jnp.zeros((3, 16, 8 * 4, 10))    # (field, r, theta, phi)
+        g = jax.device_put(grid, sh)
+        assert len(g.sharding.device_set) == NDEV
+        # theta axis splits, others replicate
+        shard_shape = g.sharding.shard_shape(grid.shape)
+        assert shard_shape == (3, 16, 4, 10)
+
+    def test_halo_exchange_theta(self):
+        from jax import shard_map
+        from grtrans_tpu.parallel.sharding import (pixel_mesh,
+                                                   halo_exchange_theta)
+        mesh = pixel_mesh(NDEV)
+        nth = 8 * NDEV
+        grid = jnp.arange(nth, dtype=jnp.float64)[:, None] \
+            * jnp.ones((1, 4))
+
+        def f(block):
+            lo, hi = halo_exchange_theta(block)
+            return jnp.stack([lo, hi])[None]
+
+        out = shard_map(f, mesh=mesh, in_specs=P("pix"),
+                        out_specs=P("pix"))(grid)
+        out = np.asarray(out)                   # (NDEV, 2, 4)
+        for d in range(NDEV):
+            lo_expect = 0.0 if d == 0 else d * 8 - 1
+            hi_expect = nth - 1.0 if d == NDEV - 1 else (d + 1) * 8
+            np.testing.assert_allclose(out[d, 0], lo_expect)
+            np.testing.assert_allclose(out[d, 1], hi_expect)

@@ -21,6 +21,8 @@ from grtrans_tpu.geometry import kerr
 
 from tests.test_grmhd3d import harm3d_files, synthetic_flow  # noqa: F401
 
+pytestmark = pytest.mark.slow  # full-res e2e: fast tier = -m 'not slow'
+
 A = 0.9375
 
 
