@@ -86,8 +86,8 @@ def calc_emissivity(ename, nu, ei: EmisInputs, ang, cosne, sp: SourceParams,
         f0 = jnp.take_along_axis(ei.fnu, ix[..., None], axis=-1)[..., 0]
         f1 = jnp.take_along_axis(ei.fnu, (ix + 1)[..., None],
                                  axis=-1)[..., 0]
-        val = jnp.exp(jnp.log(jnp.maximum(f0, 1e-300)) * (1 - w)
-                      + jnp.log(jnp.maximum(f1, 1e-300)) * w)
+        val = jnp.exp(jnp.log(jnp.maximum(f0, 1e-37)) * (1 - w)
+                      + jnp.log(jnp.maximum(f1, 1e-37)) * w)
         inside = (nu >= ei.freq_tab[0]) & (nu <= ei.freq_tab[-1])
         j1 = jnp.where(inside & (f0 > 0) & (f1 > 0), val, 0.0)
         out = jnp.zeros(j1.shape + (11,))
@@ -127,17 +127,17 @@ def _extra_channels(geo, fv, ei, j, K, prof, ok):
     w = j[..., 0] * jnp.exp(-jnp.minimum(tau_i, 300.0))
     w = jnp.where(ok, w, 0.0)
     wsum = cum(w)
-    beta_pl = fv.p * 2.0 / jnp.maximum(fv.bmag, 1e-300) ** 2
+    beta_pl = fv.p * 2.0 / jnp.maximum(fv.bmag, 1e-37) ** 2
     quants = [geo.x[..., 1], geo.x[..., 2], geo.x[..., 3], ei.ncgs,
               ei.tcgs, ei.bcgs, beta_pl,
               jnp.sign(jnp.cos(geo.x[..., 2]))]
-    safe = jnp.maximum(at_dex(wsum), 1e-300)
+    safe = jnp.maximum(at_dex(wsum), 1e-37)
     for q in quants:
         out.append(at_dex(cum(w * q)) / safe)
     # linear-polarization-weighted quantities from the Stokes profile
     lp = jnp.sqrt(prof[..., 0] ** 2 + prof[..., 1] ** 2)
     dlp = jnp.abs(lp[..., :-1] - lp[..., 1:])   # per-cell LP growth
-    dsum = jnp.maximum(jnp.sum(dlp, axis=-1), 1e-300)
+    dsum = jnp.maximum(jnp.sum(dlp, axis=-1), 1e-37)
     mid = lambda q: 0.5 * (q[..., 1:] + q[..., :-1])
     for q in [geo.x[..., 1], geo.x[..., 2], taus[4], taus[5],
               jnp.sign(jnp.cos(geo.x[..., 2]))]:

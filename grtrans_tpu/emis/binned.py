@@ -15,7 +15,7 @@ from grtrans_tpu import constants as pc
 
 def _fx(x):
     """Westfold F(x) fit (synchbinemis::fx, polsynchemis.f90:1106-1131)."""
-    x = jnp.maximum(x, 1e-300)
+    x = jnp.maximum(x, 1e-37)
     s = jnp.sqrt(x)
     cb = x ** (1.0 / 3.0)
     d1 = jnp.exp(-0.97947838884478688 * x - 0.83333239129525072 * s
@@ -29,7 +29,7 @@ def _fx(x):
 
 def _k53x(x):
     """K_{5/3}(x) fit (synchbinemis::k53x, polsynchemis.f90:1133-1158)."""
-    x = jnp.maximum(x, 1e-300)
+    x = jnp.maximum(x, 1e-37)
     s = jnp.sqrt(x)
     cb = x ** (1.0 / 3.0)
     d1 = jnp.exp(-1.0194198041210243 * x + 0.28011396300530672 * s
@@ -54,9 +54,9 @@ def synchbinemis(nu, nbins, b, theta, gammas, dgammas):
     prefa = jnp.where(babs > 0.0,
                       4.0 * jnp.pi * pc.e
                       / (3.0 * jnp.sqrt(3.0)
-                         * jnp.maximum(babs * sth, 1e-300)), 0.0)
+                         * jnp.maximum(babs * sth, 1e-37)), 0.0)
     nup = 3.0 * pc.e * babs * sth / (4.0 * jnp.pi * pc.m * pc.c)
-    xm = nu[..., None] / jnp.maximum(nup[..., None] * gammas ** 2, 1e-300)
+    xm = nu[..., None] / jnp.maximum(nup[..., None] * gammas ** 2, 1e-37)
     jnu = prefj * jnp.sum(_fx(xm) * nbins * dgammas, axis=-1)
     anu = prefa * jnp.sum(_k53x(xm) * nbins * dgammas / gammas ** 5,
                           axis=-1)

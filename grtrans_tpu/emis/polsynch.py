@@ -61,7 +61,7 @@ def _jffunc(x):
     extra = (0.011 * jnp.exp(-x / 47.2)
              - 2.0 ** (-1.0 / 3.0) / 3.0 ** (23.0 / 6.0) * jnp.pi * 1e4
              * (x + 1e-16) ** (-8.0 / 3.0)) \
-        * (0.5 + 0.5 * jnp.tanh((jnp.log(x + 1e-300) - jnp.log(120.0)) / 0.1))
+        * (0.5 + 0.5 * jnp.tanh((jnp.log(x + 1e-37) - jnp.log(120.0)) / 0.1))
     return (2.011 * jnp.exp(-x ** 1.035 / 4.7)
             - jnp.cos(x / 2.0) * jnp.exp(-x ** 1.2 / 2.73)
             - 0.011 * jnp.exp(-x / 47.2) + extra)

@@ -67,7 +67,7 @@ def _build_tables():
         for j, p in enumerate(ps):
             integrand = xf ** ((p + off) / 2.0) * kern
             G = revcum(integrand)           # int_x^inf on fine grid
-            tab[j] = np.interp(np.log(xs), np.log(xf), np.log(G + 1e-300))
+            tab[j] = np.interp(np.log(xs), np.log(xf), np.log(G + 1e-37))
         tables[name] = tab
     # NOTE: cache holds PURE NUMPY — this may be first called inside a
     # jit trace, and caching traced jnp constants would leak tracers

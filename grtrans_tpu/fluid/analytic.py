@@ -138,7 +138,7 @@ class Sariaf:
         th = x[..., 2]
         mu = jnp.cos(th)
         z = r * mu
-        a2 = jnp.sqrt(jnp.maximum(r * r - z * z, 1e-300))
+        a2 = jnp.sqrt(jnp.maximum(r * r - z * z, 1e-37))
         rs = r / 2.0
         gauss = jnp.exp(-0.5 * (z / a2) ** 2)
         if self.bl06 != 1:

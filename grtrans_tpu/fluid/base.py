@@ -77,7 +77,7 @@ def scale_sim_units(mbh, mdotcgs, mdot_code, rho, p, bmag):
     ncgs = rhocgs / pc.mp
     safe = jnp.where(rho > 0, rho, 1.0)
     pcgs = p * rhocgs / safe * pc.c ** 2
-    tempcgs = pcgs / jnp.maximum(ncgs, 1e-300) / pc.k
+    tempcgs = pcgs / jnp.maximum(ncgs, 1e-37) / pc.k
     bcgs = bmag * jnp.sqrt(rhocgs / safe) * pc.c * jnp.sqrt(4.0 * jnp.pi)
     return ncgs, bcgs, tempcgs, rhocgs
 
@@ -85,7 +85,7 @@ def scale_sim_units(mbh, mdotcgs, mdot_code, rho, p, bmag):
 def sigma_cut(bcgs, rhocgs, tempcgs, ncgs, sigcut):
     """Zero out high-magnetization zones (fluid.f90:792-810)."""
     sigma = bcgs * bcgs / jnp.maximum(rhocgs * 8.988e20 * 4.0 * jnp.pi,
-                                      1e-300)
+                                      1e-37)
     hot = sigma >= sigcut
     return (jnp.where(hot, 0.0, rhocgs), jnp.where(hot, 0.0, ncgs),
             jnp.where(hot, 1e9, tempcgs))
@@ -94,7 +94,7 @@ def sigma_cut(bcgs, rhocgs, tempcgs, ncgs, sigcut):
 def monika_e(rho, p, b, rlow, rhigh):
     """Moscibrodzka+2016 R(beta) temperature-ratio prescription
     (fluid.f90:874-892).  beta = p / (b^2/2) with code-unit inputs."""
-    beta = p / jnp.maximum(b * b, 1e-300) / 0.5
+    beta = p / jnp.maximum(b * b, 1e-37) / 0.5
     b2 = beta * beta
     trat = jnp.where(b > 0.0, rhigh * b2 / (1.0 + b2) + rlow / (1.0 + b2),
                      rhigh)
@@ -104,7 +104,7 @@ def monika_e(rho, p, b, rlow, rhigh):
 def charles_e(rho, p, u, b, rlow, rhigh):
     """EHT-notes electron temperature (fluid.f90:814-843); p here is
     T_p + T_e type variable and u = T_p + 2 T_e (KORAL convention)."""
-    beta = 2.0 * rho * pc.k * p / pc.mp / jnp.maximum(b * b, 1e-300)
+    beta = 2.0 * rho * pc.k * p / pc.mp / jnp.maximum(b * b, 1e-37)
     b2 = beta * beta
     trat = jnp.where(b > 0.0, rhigh * b2 / (1.0 + b2) + rlow / (1.0 + b2),
                      rhigh)
@@ -120,7 +120,7 @@ def ressler_e(rho, kel):
 
 def werner_e(rho, bmag):
     """Werner+2018 dissipation fraction (fluid.f90:906-911)."""
-    sig = bmag ** 2 / jnp.maximum(rho, 1e-300) / 5.0
+    sig = bmag ** 2 / jnp.maximum(rho, 1e-37) / 5.0
     return 0.25 + 0.25 * jnp.sqrt(sig / (2.0 + sig))
 
 

@@ -119,6 +119,11 @@ class Harm:
             "bth": b_bl[..., 2].reshape(shape),
             "bph": b_bl[..., 3].reshape(shape),
         }
+        from grtrans_tpu.ops.interp import stack_grid_fields
+        self.FIELDS = ("rho", "p", "u0", "vrl", "vtl", "vpl",
+                       "b0", "br", "bth", "bph")
+        self.fstack = stack_grid_fields(self.f, self.FIELDS)
+        self.fstack32 = self.fstack.astype(jnp.float32)
 
     def vals(self, x, k, a):
         nx1, nx2 = self.nx1, self.nx2
@@ -142,22 +147,16 @@ class Harm:
         td = jnp.clip(td, 0.0, 1.0)
         inside = x1 > u1a
 
-        def bilin(g):
-            return (g[lx1, lx2] * (1 - rd) * (1 - td)
-                    + g[lx1 + 1, lx2] * rd * (1 - td)
-                    + g[lx1, lx2 + 1] * (1 - rd) * td
-                    + g[lx1 + 1, lx2 + 1] * rd * td)
-
-        rho = jnp.where(inside, bilin(self.f["rho"]), 0.0)
-        p = jnp.where(inside, bilin(self.f["p"]), 1.0)
-        u0 = jnp.where(inside, bilin(self.f["u0"]), 1.0)
-        vrl = jnp.where(inside, bilin(self.f["vrl"]), 0.0)
-        vtl = jnp.where(inside, bilin(self.f["vtl"]), 0.0)
-        vpl = jnp.where(inside, bilin(self.f["vpl"]), 0.0)
-        b = jnp.stack([bilin(self.f["b0"]), bilin(self.f["br"]),
-                       bilin(self.f["bth"]), bilin(self.f["bph"])], axis=-1)
-        b = jnp.where(inside[..., None], b,
-                      jnp.array([0.0, 0.0, 0.0, 1.0]))
+        # all 10 fields in one stacked bilinear gather (ops/interp.py)
+        from grtrans_tpu.ops.interp import bilinear_stacked
+        G = self.fstack32 if r.dtype == jnp.float32 else self.fstack
+        vals = bilinear_stacked(G, nx2, lx1, lx2, rd.astype(r.dtype),
+                                td.astype(r.dtype))
+        fill = jnp.asarray([0.0, 1.0, 1.0, 0.0, 0.0, 0.0,
+                            0.0, 0.0, 0.0, 1.0], dtype=vals.dtype)
+        vals = jnp.where(inside[..., None], vals, fill)
+        rho, p, u0, vrl, vtl, vpl = (vals[..., i] for i in range(6))
+        b = vals[..., 6:10]
         g_cov = kerr.metric_cov(r, th, a)
         bmag = safe_sqrt(fv.dot(g_cov, b, b))
         vr, vth, om = kerr.lnrf_frame_inv(vrl, vtl, vpl, r, a, th)

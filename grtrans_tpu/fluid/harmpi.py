@@ -557,7 +557,7 @@ class HarmPI:
             tempcgs = sp.mu * base.werner_e(fv_.rho, fv_.bmag) * tempcgs
         ncgsnth = base.nonthermale_b2(
             sp.jetalpha, max(sp.gmin, 1.0), sp.p1,
-            fv_.bmag ** 2 / jnp.maximum(fv_.rho, 1e-300), bcgs)
+            fv_.bmag ** 2 / jnp.maximum(fv_.rho, 1e-37), bcgs)
         rhocgs, ncgs, tempcgs = base.sigma_cut(bcgs, rhocgs, tempcgs,
                                                ncgs, sp.sigcut)
         return EmisInputs(ncgs=ncgs, tcgs=tempcgs, bcgs=bcgs,

@@ -49,7 +49,7 @@ def _toroidal_spot_b(g, u, bmag):
     ut, uph = u[..., 0], u[..., 3]
     gfac = 1.0 / jnp.sqrt(jnp.maximum(
         (gpp * gtt - gtp * gtp)
-        * (gpp * uph * uph + ut * (2.0 * gtp * uph + gtt * ut)), 1e-300))
+        * (gpp * uph * uph + ut * (2.0 * gtp * uph + gtt * ut)), 1e-37))
     b0 = bmag * gfac * jnp.abs(gpp * uph + gtp * ut)
     b3 = -bmag * jnp.sign(gpp * uph + gtp * ut) * (ut * gtt + gtp * uph) \
         * gfac

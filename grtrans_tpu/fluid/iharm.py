@@ -180,7 +180,7 @@ class Iharm(grmhd3d.Grmhd3D):
             tempcgs = base.ressler_e(fv_.rho, fv_.kela)
         ncgsnth = base.nonthermale_b2(
             sp.jetalpha, sp.gmin, sp.p1,
-            fv_.bmag ** 2 / jnp.maximum(fv_.rho, 1e-300), bcgs)
+            fv_.bmag ** 2 / jnp.maximum(fv_.rho, 1e-37), bcgs)
         rhocgs, ncgs, tempcgs = base.sigma_cut(bcgs, rhocgs, tempcgs,
                                                ncgs, sp.sigcut)
         return EmisInputs(ncgs=ncgs, tcgs=tempcgs, bcgs=bcgs,

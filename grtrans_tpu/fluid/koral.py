@@ -175,7 +175,7 @@ class _KoralBase:
         rhocgs, ncgs, tempcgs = base.sigma_cut(bcgs, rhocgs, tempcgs,
                                                ncgs, sp.sigcut)
         sigma = bcgs * bcgs / jnp.maximum(
-            rhocgs * pc.c2 * 4.0 * jnp.pi, 1e-300)
+            rhocgs * pc.c2 * 4.0 * jnp.pi, 1e-37)
         if self.region == 1:       # disk: zero the Be >= 0.05 jet
             cut = fv_.be >= 0.05
         elif self.region in (2, 3):  # jets: zero the bound disk

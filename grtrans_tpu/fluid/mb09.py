@@ -122,7 +122,7 @@ class MB09(ThickDisk):
         ui2 = (g_cov[..., 0] + 2.0 * g_cov[..., 3] * vph
                + g_cov[..., 4] * vr ** 2 + g_cov[..., 7] * vth ** 2
                + g_cov[..., 9] * vph ** 2)
-        u0 = 1.0 / jnp.sqrt(jnp.maximum(-ui2, 1e-300))
+        u0 = 1.0 / jnp.sqrt(jnp.maximum(-ui2, 1e-37))
         vrl, vtl, vpl = kerr.lnrf_frame(vr, vth, vph, r_flat, self.asim,
                                         th_flat)
         b_bl = jnp.asarray(d["b"])

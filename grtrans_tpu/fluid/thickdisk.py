@@ -201,8 +201,8 @@ class ThickDisk:
             bsq = fv.dot(g_cov, b_bl, b_bl)
             rinterp = jnp.clip((r_flat - 9.0) / (0.0 - 9.0), 0.0, 1.0)
             cond = rinterp * 30.0 + (1 - rinterp) * 10.0
-            bad = (bsq / jnp.maximum(rho, 1e-300) > 30.0) \
-                | (bsq / jnp.maximum(rho, 1e-300) >= cond)
+            bad = (bsq / jnp.maximum(rho, 1e-37) > 30.0) \
+                | (bsq / jnp.maximum(rho, 1e-37) >= cond)
             rho = jnp.where(bad, 1e-18, rho)
             p = jnp.where(bad, 1e-18, p)
         vr = u_bl[..., 1] / u_bl[..., 0]
@@ -289,6 +289,6 @@ class ThickDisk:
         tempcgs = tempcgs / (1.0 + trat)
         ncgsnth = base.nonthermale_b2(
             sp.jetalpha, max(sp.gmin, 1.0), sp.p1,
-            fv_.bmag ** 2 / jnp.maximum(fv_.rho, 1e-300), bcgs)
+            fv_.bmag ** 2 / jnp.maximum(fv_.rho, 1e-37), bcgs)
         return EmisInputs(ncgs=ncgs, tcgs=tempcgs, bcgs=bcgs,
                           ncgsnth=ncgsnth)

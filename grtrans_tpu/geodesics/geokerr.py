@@ -94,8 +94,8 @@ def _radial_setup(a, l, q2, u0, uf):
     s = s0[..., None] * x
     uu = jnp.where(turn, u_turn, u0 + 1.0)[..., None] - s * s
     Uv = _u_eval(cU, uu)
-    h = Uv / jnp.maximum(s * s, 1e-300)  # U/(u_t - u), finite at nodes
-    f = 2.0 / jnp.sqrt(jnp.maximum(h, 1e-300))
+    h = Uv / jnp.maximum(s * s, 1e-37)  # U/(u_t - u), finite at nodes
+    f = 2.0 / jnp.sqrt(jnp.maximum(h, 1e-37))
     lam_turn = jnp.sum(f * w, axis=-1) * s0
     lam_turn = jnp.where(turn, lam_turn, jnp.inf)
     return cU, u_turn, lam_turn, turn
@@ -105,7 +105,7 @@ def _lam_of_u(cU, u0, u1):
     """int_{u0}^{u1} du/sqrt(U) assuming U > 0 on the open interval."""
     x, w = (jnp.asarray(v) for v in gl_nodes(NQ_LAM))
     uu = u0[..., None] + (u1 - u0)[..., None] * x
-    f = 1.0 / jnp.sqrt(jnp.maximum(_u_eval(cU, uu), 1e-300))
+    f = 1.0 / jnp.sqrt(jnp.maximum(_u_eval(cU, uu), 1e-37))
     return jnp.sum(f * w, axis=-1) * (u1 - u0)
 
 
@@ -135,7 +135,7 @@ def _polar_setup(a, l, q2, mu0, sm):
     # stable biquadratic roots of a^2 m^2 - c2 m - q2 = 0 (m = mu^2)
     disc = jnp.sqrt(jnp.maximum(c2 * c2 + 4.0 * a2 * q2, 0.0))
     tmp = 0.5 * (c2 + jnp.where(c2 >= 0, disc, -disc))
-    safe_a2 = jnp.maximum(a2, 1e-300)
+    safe_a2 = jnp.maximum(a2, 1e-37)
     r1 = tmp / safe_a2
     r2 = jnp.where(jnp.abs(tmp) > 0, -q2 / jnp.where(jnp.abs(tmp) > 0, tmp,
                                                      1.0), 0.0)
@@ -143,7 +143,7 @@ def _polar_setup(a, l, q2, mu0, sm):
     mminus = jnp.minimum(r1, r2)         # lower root (<0 for ordinary)
     # a == 0: quadratic potential, single root q2/(l^2+q2)
     is_a0 = a2 < 1e-24
-    l2q = jnp.maximum(l * l + q2, 1e-300)
+    l2q = jnp.maximum(l * l + q2, 1e-37)
     mplus = jnp.where(is_a0, q2 / l2q, mplus)
     mminus = jnp.where(is_a0, -jnp.inf, mminus)
     mplus = jnp.clip(mplus, 0.0, 1.0)
@@ -158,14 +158,14 @@ def _polar_setup(a, l, q2, mu0, sm):
 
     def D_ord(psi):
         return jnp.maximum(_bc(a2mp, psi.ndim) * jnp.sin(psi) ** 2
-                           + _bc(Dconst, psi.ndim), 1e-300)
+                           + _bc(Dconst, psi.ndim), 1e-37)
 
     psi_half = jnp.pi / 2.0
     psis = psi_half * x
     Q = jnp.sum(1.0 / jnp.sqrt(D_ord(psis[None, :] *
                                      jnp.ones_like(a2mp)[:, None])) * w,
                 axis=-1) * psi_half
-    sqmp = jnp.sqrt(jnp.maximum(mplus, 1e-300))
+    sqmp = jnp.sqrt(jnp.maximum(mplus, 1e-37))
     psi0 = jnp.arcsin(jnp.clip(mu0 / sqmp, -1.0, 1.0))
     psis0 = psi0[..., None] * x
     Ipsi0 = jnp.sum(1.0 / jnp.sqrt(D_ord(psis0)) * w, axis=-1) * psi0
@@ -177,19 +177,19 @@ def _polar_setup(a, l, q2, mu0, sm):
     half_ord = 2.0 * Q
 
     # --- vortical branch (q2 < 0): |mu| in [sqrt(m-), sqrt(m+)]
-    mm_v = jnp.clip(mminus, 1e-300, 1.0)
+    mm_v = jnp.clip(mminus, 1e-37, 1.0)
     dm_v = jnp.maximum(mplus - mm_v, 0.0)
 
     def D_vort(psi):
         return jnp.maximum(_bc(a2, psi.ndim)
                            * (_bc(mm_v, psi.ndim)
                               + _bc(dm_v, psi.ndim) * jnp.sin(psi) ** 2),
-                           1e-300)
+                           1e-37)
 
     Lv = jnp.sum(1.0 / jnp.sqrt(D_vort(psis[None, :]
                                        * jnp.ones_like(a2mp)[:, None])) * w,
                  axis=-1) * psi_half
-    arg = jnp.sqrt(jnp.clip((mu0 * mu0 - mm_v) / jnp.maximum(dm_v, 1e-300),
+    arg = jnp.sqrt(jnp.clip((mu0 * mu0 - mm_v) / jnp.maximum(dm_v, 1e-37),
                             0.0, 1.0))
     psi0v = jnp.arcsin(arg)
     psis0v = psi0v[..., None] * x
@@ -297,7 +297,7 @@ def _phase_integrands_radial(a, l, u):
 def _phase_integrands_polar(a, l, mu):
     """Polar parts of the phase integrands as functions of mu."""
     dt_m = a * (l - a * (1.0 - mu * mu))
-    one_m = jnp.maximum(1.0 - mu * mu, 1e-300)
+    one_m = jnp.maximum(1.0 - mu * mu, 1e-37)
     dph_m = -a + l / one_m
     daff_m = a * a * mu * mu
     return dt_m, dph_m, daff_m
@@ -391,7 +391,7 @@ def _cumulative_phases(st, a, l, lam_grid, u_grid=None, node_interp=False,
     ln_hi = jnp.log(r_hi)
     rn = jnp.exp(ln_lo[..., None] + (ln_hi - ln_lo)[..., None] * x)
     urn = 1.0 / rn
-    Un = jnp.maximum(_u_eval(st.cU, urn), 1e-300)
+    Un = jnp.maximum(_u_eval(st.cU, urn), 1e-37)
     fac = 1.0 / (rn * rn * jnp.sqrt(Un))
     dt_rr, dph_rr, daff_rr = _phase_integrands_radial(a, l_, urn)
     dlnr = ln_hi - ln_lo
@@ -426,8 +426,9 @@ def _signs_and_counts(st, lam):
     return su, smu, tpr, tpm
 
 
-@partial(jax.jit, static_argnames=("npts",))
-def trace(a, mu0, alpha, beta, l, q2, sm, u0, npts, uout=None, phi0=0.0):
+@partial(jax.jit, static_argnames=("npts", "node_interp"))
+def trace(a, mu0, alpha, beta, l, q2, sm, u0, npts, uout=None, phi0=0.0,
+          node_interp=True):
     """Trace rays from the camera: npts samples, even in Mino time, from
     u=uout (default: the observer u0) to the horizon or back out to uout
     after a radial turning point (reference standard=1 mode).
@@ -454,7 +455,8 @@ def trace(a, mu0, alpha, beta, l, q2, sm, u0, npts, uout=None, phi0=0.0):
     su, smu, tpr, tpm = _signs_and_counts(st, lam)
 
     dt_c, dph_c, aff_c = _cumulative_phases(st, a, l, lam, u_grid=u,
-                                            node_interp=True, mu_grid=mu)
+                                            node_interp=node_interp,
+                                            mu_grid=mu)
 
     r = 1.0 / jnp.maximum(u, 1e-12)
     th = jnp.arccos(mu)

@@ -53,6 +53,19 @@ def _fin(x):
     return jnp.finfo(jnp.result_type(x))
 
 
+# Range-safe underflow floor.  TPU has no native f64: XLA emulates it
+# as double-float (two f32s), which keeps ~f64 precision but only the
+# f32 EXPONENT range — measured on-chip: (1e30)^2 = nan,
+# 1/sqrt(float64 tiny) = inf.  Any guard floored at f64 tiny (1e-308)
+# therefore overflows when divided by.  All underflow floors use the
+# F32 tiny instead (identical for f32 inputs; on CPU f64 the change is
+# semantics-preserving: values between 1e-308 and 1e-38 only occur in
+# fully transparent / masked cells whose sanitized branches don't
+# depend on the floor's magnitude).
+_TINY = float(jnp.finfo(jnp.float32).tiny)          # 1.18e-38
+_SQRT_TINY = float(jnp.finfo(jnp.float32).tiny) ** 0.5   # 1.08e-19
+
+
 def _m4(rows):
     """Build a (4, 4, *batch) matrix from 4 rows of 4 batch arrays."""
     return jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
@@ -121,7 +134,7 @@ def _calc_O(a, rho, dx, dx64=None):
     Returns (4, 4, *batch)."""
     aI = a[0]
     fin = _fin(aI)
-    tiny = fin.tiny
+    tiny = _TINY
     seps = fin.eps
     # near-degenerate cells (lam*dx tiny, including the a2 ~ p2, ap ~ 0
     # cancellation where theta << a2+p2): the eigen-decomposition's 1/theta
@@ -161,7 +174,7 @@ def _calc_O(a, rho, dx, dx64=None):
     theta = lam1 ** 2 + lam2 ** 2
     # sqrt(tiny) floor: see delo_solve — theta^2 must not underflow in
     # the divide VJP
-    ith = 1.0 / jnp.where(theta > jnp.sqrt(tiny), theta, 1.0)
+    ith = 1.0 / jnp.where(theta > _SQRT_TINY, theta, 1.0)
     sig = jnp.sign(ap)
     sig = jnp.where(sig == 0.0, 1.0, sig)
 
@@ -326,7 +339,7 @@ def _inv4(m):
     # an absolute 1e-12 would pass pure-noise determinants in f32
     scale = jnp.max(jnp.abs(adj), axis=(0, 1))
     fin = _fin(det)
-    good = jnp.abs(det) > 100.0 * fin.eps * scale + fin.tiny
+    good = jnp.abs(det) > 100.0 * fin.eps * scale + _TINY
     det_safe = jnp.where(good, det, 1.0)
     return adj / det_safe, good
 
@@ -375,7 +388,7 @@ def _cell_emission(O, ac, rc, jn, jf, dlam):
     s = mags[0]
     for m_ in mags[1:]:
         s = jnp.maximum(s, m_)
-    s = jnp.maximum(s, _fin(ac[0]).tiny ** 0.5)
+    s = jnp.maximum(s, _SQRT_TINY)
     ia0 = 1.0 / s
     Kn = _opac_m4(tuple(c * ia0 for c in ac), tuple(c * ia0 for c in rc))
     iK, inv_ok = _inv4(Kn)
@@ -577,7 +590,7 @@ def delo_solve(lam, j, K, mask=None, max_tau=MAX_TAU, thin=THIN, I0=None):
     # are meaningless across such a discontinuity anyway; the reference
     # divides unfloored and relies on post-hoc NaN zeroing,
     # radtrans_integrate.f90:192-196)
-    floor = _fin(aI).tiny ** 0.5
+    floor = _SQRT_TINY
     avg_a = delta / jnp.maximum(dlam, floor)
     rel = jnp.maximum(1e-8 * avg_a, floor)
     a0 = jnp.maximum(aI[..., :-1], rel)
@@ -623,7 +636,11 @@ def quadrature_solve(lam, j, K, mask=None, max_tau=MAX_TAU):
     dtau = 0.5 * (aI[..., 1:] + aI[..., :-1]) * dlam
     tau = jnp.concatenate([jnp.zeros_like(lam[..., :1]),
                            jnp.cumsum(dtau, axis=-1)], axis=-1)
-    integ = j[..., 0] * jnp.exp(-jnp.minimum(tau, max_tau * 10))
+    # 80.0 is purely an exp-underflow clamp (exp(-80) ~ 1e-35, exact 0
+    # in every dtype here); truncation semantics are the `ok` mask below,
+    # which zeroes everything past MAX_TAU like the reference
+    # (radtrans_integrate.f90:210-224)
+    integ = j[..., 0] * jnp.exp(-jnp.minimum(tau, 80.0))
     if mask is not None:
         integ = jnp.where(mask, integ, 0.0)
     ok = tau <= max_tau
@@ -669,7 +686,7 @@ def _sph_substep(I, P, jv, Kv, h):
     source — no growth, no NaN, at any stiffness.  Composition:
     half-rotation, full exchange, half-rotation (Strang, O(h^2)
     commutator error; each part exact)."""
-    tiny = _fin(I).tiny ** 0.5
+    tiny = _SQRT_TINY
     jI = jv[..., 0]
     jp = jv[..., 1:4]
     aI = Kv[..., 0]

@@ -27,7 +27,7 @@ def _cmul(ar, ai, br, bi):
 
 def _cdiv(ar, ai, br, bi):
     d = br * br + bi * bi
-    d = jnp.where(d == 0.0, 1e-300, d)
+    d = jnp.where(d == 0.0, 1e-37, d)
     return (ar * br + ai * bi) / d, (ai * br - ar * bi) / d
 
 
@@ -95,7 +95,7 @@ def quartic_roots(c0, c1, c2, c3, c4):
     S = jnp.abs(c0)
     for c in (c1, c2, c3, c4):
         S = jnp.maximum(S, jnp.abs(c))
-    S = jnp.maximum(S, 1e-300)
+    S = jnp.maximum(S, 1e-37)
     tol = 1e-13
     is4 = jnp.abs(c4) > tol * S
     is3 = jnp.abs(c3) > tol * S

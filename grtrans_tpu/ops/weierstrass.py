@@ -74,7 +74,7 @@ def wp(z, g2, g3):
     # invariant scale: series converges for |z| << min lattice distance
     # ~ |g2|^(-1/4), |g3|^(-1/6)
     t = jnp.maximum(jnp.abs(g2) ** 0.25, jnp.abs(g3) ** (1.0 / 6.0))
-    target = 0.25 / jnp.maximum(t, 1e-300)
+    target = 0.25 / jnp.maximum(t, 1e-37)
     n = jnp.ceil(jnp.log2(jnp.maximum(jnp.abs(z) / target, 1.0)))
     n = jnp.clip(n, 0, MAX_DOUBLINGS).astype(jnp.int32)
     zs = z / (2.0 ** n.astype(jnp.float64))
@@ -95,7 +95,7 @@ def wp(z, g2, g3):
         p, dp = carry
         ddp = 6.0 * p * p - 0.5 * g2          # wp''
         dddp = 12.0 * p * dp                  # wp'''
-        safe = jnp.where(jnp.abs(dp) > 1e-300, dp, 1e-300)
+        safe = jnp.where(jnp.abs(dp) > 1e-37, dp, 1e-37)
         h = ddp / (2.0 * safe)
         hp = (dp * dddp - ddp * ddp) / (2.0 * safe * safe)
         p2 = h * h - 2.0 * p

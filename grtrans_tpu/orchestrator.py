@@ -41,6 +41,10 @@ def _source_params(cfg, mdot):
 # valid) + the model's mutable time-series attributes.
 _RENDER_CACHE = {}
 _RENDER_CACHE_MAX = 8
+# incremented at TRACE time of the render body (a Python side effect
+# runs only while jax traces, not per execution): tests assert an
+# nmdot/time scan compiles exactly once
+TRACE_COUNT = 0
 
 
 def _render_fn_key(cfg, model):
@@ -48,8 +52,13 @@ def _render_fn_key(cfg, model):
     import dataclasses
     cfgkey = tuple((f.name, repr(getattr(cfg, f.name)))
                    for f in dataclasses.fields(cfg) if f.name != "fargs")
+    # _epoch bumps whenever a GRMHD model's field buffers mutate
+    # (_store/append_slice), so in-place data swaps can't serve a stale
+    # compiled closure; the explicit time-series attributes cover the
+    # analytic models
     return (cfgkey, repr(fargs), id(model),
             getattr(model, "nt_slices", 1),
+            int(getattr(model, "_epoch", 0)),
             float(getattr(model, "tstep", 0.0)),
             float(getattr(model, "toffset", 0.0)))
 
@@ -117,6 +126,8 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
         # mdot is a TRACED scalar: an nmdot>1 SED scan (or a pgriter fit)
         # re-uses ONE compiled program for every value (the reference
         # scans mdot inside the hot loop, grtrans_driver.f90:134-157)
+        global TRACE_COUNT
+        TRACE_COUNT += 1
         sp = _source_params(cfg, mdot)
         if slow_light:
             geo = geo._replace(x=geo.x.at[..., 0].add(-t0sh[:, None]))

@@ -39,7 +39,7 @@ def _point_at_u(a, mu0, alpha, beta, ustar, npts=128, u0=1e-6):
     mu = jnp.cos(geo.x[0, :, 2])
     phi = geo.x[0, :, 3]
     # first crossing of u = ustar along the trace (u increases inward)
-    w = jnp.clip((ustar - u[:-1]) / (u[1:] - u[:-1] + 1e-300), 0.0, 1.0)
+    w = jnp.clip((ustar - u[:-1]) / (u[1:] - u[:-1] + 1e-37), 0.0, 1.0)
     cross = (u[:-1] <= ustar) & (u[1:] >= ustar)
     idx = jnp.argmax(cross)
     wi = w[idx]

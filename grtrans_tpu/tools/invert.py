@@ -131,7 +131,7 @@ def fit_image(problem: InverseProblem, target, init: Dict[str, float],
     import optax
 
     target = jnp.asarray(target)
-    iscale = jnp.maximum(jnp.max(jnp.abs(target[..., 0])), 1e-300)
+    iscale = jnp.maximum(jnp.max(jnp.abs(target[..., 0])), 1e-37)
 
     def loss_fn(z):
         img = problem.render(_from_opt(z))

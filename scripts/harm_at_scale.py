@@ -75,6 +75,8 @@ def main():
     ap.add_argument("--npts", type=int, default=400)
     ap.add_argument("--chunk", type=int, default=65536)
     ap.add_argument("--iname", default="formal")
+    ap.add_argument("--prec", default="mixed",
+                    help="'mixed' (validated f32 fast path) or 'f64'")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -92,7 +94,7 @@ def main():
                         fmin=2.3e11, fmax=2.3e11, iname=args.iname,
                         mdotmin=3e15, mdotmax=3e15, nmdot=1,
                         gridvals=(-15.0, 15.0, -15.0, 15.0),
-                        gmin=10.0, muval=0.25)
+                        gmin=10.0, muval=0.25, prec=args.prec)
 
     # warmup on one chunk-size worth of pixels (compile)
     import dataclasses
@@ -112,6 +114,7 @@ def main():
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
         "x64": bool(jax.config.jax_enable_x64),
+        "prec": args.prec,
         "wall_s": round(dt, 3),
         "Mrays_per_s": round(npix / dt / 1e6, 5),
         "ray_points_per_s": round(npix * args.npts / dt, 1),

@@ -45,3 +45,31 @@ def test_unit_conversions():
     x.convert_to_Jy(2.47e22)  # ~8 kpc
     assert x.spec.shape == s0.shape
     assert (x.spec >= 0).all()
+
+
+def test_mdot_scan_single_compile():
+    """nmdot>1 scans trace/compile the render body exactly ONCE: mdot is
+    a traced argument of one jitted program (the reference scans mdot
+    inside its hot loop, grtrans_driver.f90:134-157; round 2 recompiled
+    per value via a static key)."""
+    import numpy as np
+    from grtrans_tpu.config import GrtransConfig
+    from grtrans_tpu import orchestrator
+    from grtrans_tpu.orchestrator import grtrans_run
+
+    cfg = GrtransConfig(fname="SARIAF", ename="POLSYNCHTH", nvals=4,
+                        spin=0.9, standard=1, nn=(4, 4, 16), mbh=4e6,
+                        mumin=0.5, mumax=0.5, nfreq=1, fmin=2.3e11,
+                        fmax=2.3e11, iname="formal",
+                        gridvals=(-10.0, 10.0, -10.0, 10.0),
+                        nmdot=5, mdotmin=1e15, mdotmax=1e16)
+    before = orchestrator.TRACE_COUNT
+    iv, ab, freqs = grtrans_run(cfg)
+    traces = orchestrator.TRACE_COUNT - before
+    assert iv.shape[0] == 5
+    assert traces == 1, traces
+    # (SARIAF's convert ignores sp.mdot — reference parity,
+    # fluid.f90:1560-1585 has the n0=mdot scaling commented out — so no
+    # flux-variation assert here; the scan axis itself is what's under
+    # test.)
+    assert np.isfinite(iv).all()

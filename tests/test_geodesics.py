@@ -160,3 +160,26 @@ def test_polar_crossing_vs_dense_trace():
         assert abs(xt[i, j, 1] - xp[i, -1, 1]) < 0.05 * xp[i, -1, 1]
         dphi = (xt[i, j, 3] - xp[i, -1, 3] + np.pi) % (2 * np.pi) - np.pi
         assert abs(dphi) < 0.05
+
+
+def test_hermite_node_interp_vs_dense():
+    """Direct accuracy pin of the Hermite node-interpolation shortcut
+    (geokerr.trace(node_interp=True), the 4.4x phase-integral speedup):
+    t and phi along the trace agree with the dense quadrature path
+    (node_interp=False) to well below the trace's own tolerance."""
+    import jax.numpy as jnp
+    from grtrans_tpu.geodesics import camera as cam_mod
+    a, mu0 = 0.9, 0.5
+    cam = cam_mod.make_camera(a, mu0, -12.0, 12.0, -12.0, 12.0, 6, 6)
+    kw = dict(npts=64, uout=0.01)
+    g1 = geokerr.trace(a, mu0, cam.alpha, cam.beta, cam.l, cam.q2,
+                       cam.sm, cam.u0, **kw)
+    g0 = geokerr.trace(a, mu0, cam.alpha, cam.beta, cam.l, cam.q2,
+                       cam.sm, cam.u0, node_interp=False, **kw)
+    ok = np.asarray(g0.valid & g1.valid)
+    for c, tol in ((0, 2e-4), (3, 2e-4)):          # t, phi [radians/M]
+        d = np.abs(np.asarray(g1.x[..., c] - g0.x[..., c]))[ok]
+        assert d.max() < tol, (c, d.max())
+    # sample positions themselves are identical by construction
+    np.testing.assert_allclose(np.asarray(g1.x[..., 1]),
+                               np.asarray(g0.x[..., 1]), rtol=0, atol=0)

@@ -29,12 +29,12 @@ def _load(name):
 def test_ffjet_golden_image():
     """Polarized FFJET image vs test_grtrans_ffjet.p.
 
-    The ~1.3e-2 residual vs the golden is the REFERENCE's own
-    power-law cutoff tables, not this framework: its hard-coded tables
-    are floored at 1.0 in the exponential tail and their per-slice
-    normalizations are inconsistent with any single axis convention,
-    while our tables reproduce the closed-form x->0 limits to 5 digits
-    — full quantitative analysis in docs/FFJET_GOLDEN_ANALYSIS.md.
+    The ~1.36e-2 residual is a measured cross-implementation systematic
+    in the upstream geometry/tetrad/sampling chain: the reference's
+    cutoff tables + lookup (swap effect 1.5e-3), integrator order,
+    and sampling resolution (our npts=400 is converged to 4.8e-4) are
+    each ablated and EXCLUDED — see docs/FFJET_GOLDEN_ANALYSIS.md and
+    artifacts/FFJET_ABLATION.json / FFJET_NPTS_CONVERGENCE.json.
     The genuinely method-sensitive part (integrator choice) is pinned
     separately at 0.5% below."""
     from grtrans_tpu.config import GrtransConfig
