@@ -291,9 +291,15 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
             # cgs per unit geometric path (grtrans_driver.f90:217,228)
             j = j * lbh
             K = K * lbh
-            prof = solvers.integrate(lam_tr, j, K, method=iname,
-                                     mask=ok)
-            Iobs = prof[..., 0, :]
+            if extra or debug:
+                prof = solvers.integrate(lam_tr, j, K, method=iname,
+                                         mask=ok)
+                Iobs = prof[..., 0, :]
+            else:
+                # observer row only: the fast formal path skips the
+                # whole per-sample profile materialization
+                Iobs = solvers.observed_stokes(lam_tr, j, K,
+                                               method=iname, mask=ok)
         res = Iobs[..., :nvals]
         if extra and not (standard == 2 or geo.x.shape[-2] == 1):
             ex = _extra_channels(geo, fv, ei, j, K, prof, ok)

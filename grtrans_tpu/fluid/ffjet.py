@@ -81,11 +81,21 @@ class FFJet:
         # bilinear sample is then 4 gathers of contiguous 9-vectors
         # instead of 36 scalar gathers — measured 10x faster on TPU
         # (70 ms vs 734 ms for 1M samples) and ~16x faster to compile
-        self.fstack = jnp.stack(
-            [jnp.asarray(fields[k]) for k in self.FIELDS],
-            axis=-1).reshape(self.nx * self.nx, len(self.FIELDS))
-        # f32 copy for the mixed-precision path (query dtype selects)
-        self.fstack32 = self.fstack.astype(jnp.float32)
+        A = np.stack([np.asarray(fields[k]) for k in self.FIELDS],
+                     axis=-1)                        # (nx, nx, 9)
+        # corner-packed quad table: entry (i2, i1) holds the 2x2 cell's
+        # four corners contiguously (4 x 9 floats = one 144-byte gather
+        # per SAMPLE instead of four separate corner gathers — TPU
+        # gathers are descriptor-latency-bound, same bytes either way).
+        # Edge rows are duplicated; indices are clipped to nx-2 so the
+        # pad is never addressed.
+        A1 = np.concatenate([A[1:], A[-1:]], axis=0)         # i2+1
+        B0 = np.concatenate([A[:, 1:], A[:, -1:]], axis=1)   # i1+1
+        B1 = np.concatenate([A1[:, 1:], A1[:, -1:]], axis=1)
+        quad = np.stack([A, B0, A1, B1], axis=2)     # (nx, nx, 4, 9)
+        self.fquad = jnp.asarray(
+            quad.reshape(self.nx * self.nx, 4 * len(self.FIELDS)))
+        self.fquad32 = self.fquad.astype(jnp.float32)
 
     def vals(self, x, k, a):
         nx = self.nx
@@ -111,13 +121,14 @@ class FFJet:
         td = (x2 - (u2a + lx2 * d2)) / d2
         inside = x1 > u1a
 
-        # one fused bilinear gather of all 9 fields (see __post_init__)
+        # ONE corner-packed gather of all 9 fields x 4 corners
+        # (see __post_init__), then the bilinear combine on registers
         i00 = lx2 * nx + lx1
-        G = self.fstack32 if r.dtype == jnp.float32 else self.fstack
-        vals = (G[i00] * ((1 - rd) * (1 - td))[..., None]
-                + G[i00 + 1] * (rd * (1 - td))[..., None]
-                + G[i00 + nx] * ((1 - rd) * td)[..., None]
-                + G[i00 + nx + 1] * (rd * td)[..., None])
+        G = self.fquad32 if r.dtype == jnp.float32 else self.fquad
+        q = G[i00].reshape(r.shape + (4, 9))
+        w = jnp.stack([(1 - rd) * (1 - td), rd * (1 - td),
+                       (1 - rd) * td, rd * td], axis=-1)
+        vals = jnp.sum(q * w[..., None], axis=-2)
         fill = jnp.asarray([0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0],
                            dtype=vals.dtype)
         vals = jnp.where(inside[..., None], vals, fill)

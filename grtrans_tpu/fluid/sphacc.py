@@ -55,9 +55,9 @@ def _synge_funcs():
         big = x > 300.0
         xs = np.where(big, 1.0, x)
         K1 = kv(1, xs); K2 = kv(2, xs); K3 = kv(3, xs); K4 = kv(4, xs)
-        R = K3 / np.maximum(K2, 1e-37)
+        R = K3 / np.maximum(K2, 1e-300)   # HOST numpy: true f64 range
         dR = (-(K2 + K4) / 2.0 * K2 + K3 * (K1 + K3) / 2.0) \
-            / np.maximum(K2 * K2, 1e-37)
+            / np.maximum(K2 * K2, 1e-300)
         # asymptotic: R ~ 1 + 5/(2x) + 15/(8x^2) - 15/(8x^3)...
         Ra = 1.0 + 2.5 / x + 15.0 / (8.0 * x * x)
         dRa = -2.5 / (x * x) - 15.0 / (4.0 * x ** 3)

@@ -42,6 +42,7 @@ the identity map.
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -484,9 +485,57 @@ def _cell_tau_mask(lam, K, mask, max_tau):
     return tau, cell_ok
 
 
-@partial(jax.jit, static_argnames=("substeps", "ref_firstorder"))
+def _seq_march(ac, rc, jc, dlam, dlam64, cell_ok, I0c, profile=True):
+    """Sequential-in-cells march, vectorized over pixels: lax.scan over
+    the cell axis with the per-cell matricant/emission constructed
+    INSIDE the scan body.  For npix >> 1 this beats the associative
+    scan on TPU: the parallel scan materializes O(log npts) rounds of
+    (4, 4, npix, ncell) matrix temporaries in HBM (~250 ms at
+    1e4 x 400 on v5e), while here XLA fuses the whole cell construction
+    into one loop step that only streams the (11, npix) coefficient
+    slices — the march is 400 tiny fully-fused steps (~20 ms).  The
+    associative path remains for small-batch / layer-direct use.
+
+    ac, rc: (4|3, npix, ncell) midpoint coefficients; jc (4,1,npix,npts)
+    emission at samples; dlam (npix, ncell); returns the same
+    (npix, npts, 4) profile as _scan_to_observer."""
+    ncell = dlam.shape[-1]
+
+    def prep(x):                     # (..., ncell) -> (ncell, ...) far-first
+        return jnp.moveaxis(jnp.flip(x, -1), -1, 0)
+
+    use64 = dlam64 is not None
+    xs = (tuple(prep(c) for c in ac), tuple(prep(c) for c in rc),
+          prep(jc[..., :-1]), prep(jc[..., 1:]), prep(dlam),
+          prep(dlam64) if use64 else prep(dlam), prep(cell_ok))
+
+    emit_profile = profile
+
+    def cell(I, inp):
+        acc, rcc, jn, jf, d, d64, ok = inp
+        O = _calc_O(acc, rcc, d, dx64=d64 if use64 else None)  # (4,4,npix)
+        p = _cell_emission(O, acc, rcc, jn, jf, d)
+        Inew = _mm(O, I) + p
+        I = jnp.where(ok, Inew, I)
+        return I, (I[:, 0] if emit_profile else None)
+
+    Iend, ys = jax.lax.scan(cell, I0c, xs)
+    if not emit_profile:
+        # observer intensity only (the default driver path, extra=0):
+        # skip materializing the 3 x (npts, 4, npix) profile buffers
+        return jnp.transpose(Iend[:, 0], (1, 0))     # (npix, 4)
+    # ys[m] = intensity after the first m+1 cells from the far end;
+    # sample i (0 = observer) = ys[ncell-1-i]; far sample = I0
+    prof = jnp.flip(ys, axis=0)                      # (ncell, 4, npix)
+    far = jnp.broadcast_to(I0c[:, 0][None], prof[:1].shape)
+    prof = jnp.concatenate([prof, far], axis=0)      # (npts, 4, npix)
+    return jnp.transpose(prof, (2, 0, 1))            # (npix, npts, 4)
+
+
+@partial(jax.jit, static_argnames=("substeps", "ref_firstorder", "seq",
+                                   "profile"))
 def formal_solve(lam, j, K, mask=None, max_tau=MAX_TAU, I0=None, substeps=1,
-                 ref_firstorder=False):
+                 ref_firstorder=False, seq="auto", profile=True):
     """Matricant/O-matrix solver (reference iflag=2, :844-876).
 
     lam: (npix, npts) affine parameter increasing along trace;
@@ -530,6 +579,17 @@ def formal_solve(lam, j, K, mask=None, max_tau=MAX_TAU, I0=None, substeps=1,
         # radtrans_integrate.f90:869)
         ac = 0.5 * (a[..., :-1] + a[..., 1:])
         rc = 0.5 * (rho[..., :-1] + rho[..., 1:])
+        ncell = dlam.shape[-1]
+        npixb = int(np.prod(dlam.shape[:-1])) if dlam.ndim > 1 else 1
+        if seq is True or (seq == "auto" and ncell >= 64 and npixb >= 256):
+            if I0 is None:
+                I0c = jnp.zeros((4, 1) + lam.shape[:1], dtype=j.dtype)
+            else:
+                I0v = jnp.broadcast_to(jnp.atleast_2d(jnp.asarray(I0)),
+                                       (lam.shape[0], 4))
+                I0c = jnp.moveaxis(I0v, -1, 0)[:, None].astype(j.dtype)
+            return _seq_march(tuple(ac), tuple(rc), jc, dlam, dlam64,
+                              cell_ok, I0c, profile=profile)
         O = _calc_O(tuple(ac), tuple(rc), dlam, dx64=dlam64)
         jn = jc[..., :-1]
         jf = jc[..., 1:]
@@ -821,6 +881,21 @@ def sphstokes_solve(lam, j, K, mask=None, max_tau=MAX_TAU, nsub=4):
     ys = jnp.concatenate([y0[None], ys], axis=0)     # (npts, npix, 4)
     ys = jnp.flip(ys.swapaxes(0, 1), axis=-2)        # (npix, npts, 4)
     return ys
+
+
+def observed_stokes(lam, j, K, method="formal", mask=None,
+                    max_tau=MAX_TAU, thin=THIN, I0=None):
+    """Observer-side Stokes vector only, (npix, 4): like
+    integrate(...)[:, 0, :] but the fast (sequential-march) formal path
+    skips materializing the per-sample profile entirely."""
+    if method in ("formal", 2):
+        ncell = lam.shape[-1] - 1
+        npixb = int(np.prod(lam.shape[:-1])) if lam.ndim > 1 else 1
+        if ncell >= 64 and npixb >= 256:
+            return formal_solve(lam, j, K, mask, max_tau, I0,
+                                profile=False)
+    return integrate(lam, j, K, method, mask, max_tau, thin,
+                     I0)[..., 0, :]
 
 
 def integrate(lam, j, K, method="formal", mask=None, max_tau=MAX_TAU,

@@ -41,6 +41,18 @@ def _source_params(cfg, mdot):
 # valid) + the model's mutable time-series attributes.
 _RENDER_CACHE = {}
 _RENDER_CACHE_MAX = 8
+
+
+from functools import lru_cache as _lru
+
+
+@_lru(maxsize=16)
+def _cached_camera(a, mu0, a1, a2, b1, b2, nro, nphi, nrotype, rcut):
+    """Host-side camera construction is ~ms at 1e4+ pixels and is
+    identical across every (time, mdot, repeat) render of a config —
+    cache it (all-scalar key)."""
+    return cam_mod.make_camera(a, mu0, a1, a2, b1, b2, nro, nphi,
+                               nrotype, rcut)
 # incremented at TRACE time of the render body (a Python side effect
 # runs only while jax traces, not per execution): tests assert an
 # nmdot/time scan compiles exactly once
@@ -100,8 +112,8 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
 
     # all mu-cameras share the pixel grid, hence the same observer u0;
     # decide the static sampling-start (uout) question on the host
-    _probe = cam_mod.make_camera(a, float(mus[0]), a1, a2, b1, b2, nro,
-                                 nphi, cfg.nrotype, cfg.rcut)
+    _probe = _cached_camera(a, float(mus[0]), a1, a2, b1, b2, nro,
+                            nphi, cfg.nrotype, cfg.rcut)
     _use_uout = cfg.uout > _probe.u0 * 1.0001
 
     _ck = _render_fn_key(cfg, model)
@@ -170,8 +182,8 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
     ab = None
     t0 = time.time()
     for mu0 in mus:
-        cam = cam_mod.make_camera(a, float(mu0), a1, a2, b1, b2, nro, nphi,
-                                  cfg.nrotype, cfg.rcut)
+        cam = _cached_camera(a, float(mu0), a1, a2, b1, b2, nro, nphi,
+                             cfg.nrotype, cfg.rcut)
         # i1/i2 pixel subrange (1-based inclusive, read_inputs.f90:22-23:
         # debugging / by-hand range restarts)
         if cfg.i1 > 0 or cfg.i2 > 0:

@@ -17,18 +17,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def timeit(fn, *args, nrep=3):
+def _sync(out):
+    """Force completion by FETCHING a scalar from every output array:
+    on the tunneled backend block_until_ready alone has been observed
+    to return before the computation is really done (timings 1000x too
+    small); a device->host transfer cannot lie."""
     import jax
-    out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready()
-        if hasattr(x, "block_until_ready") else x, out)
+    import numpy as _np
+
+    def one(x):
+        if hasattr(x, "ndim") and getattr(x, "ndim", 0) > 0:
+            return _np.asarray(x[(0,) * x.ndim])
+        if hasattr(x, "block_until_ready"):
+            return _np.asarray(x)
+        return x
+    return jax.tree_util.tree_map(one, out)
+
+
+def timeit(fn, *args, nrep=3):
+    _sync(fn(*args))
     t0 = time.time()
     for _ in range(nrep):
-        out = fn(*args)
-        jax.tree_util.tree_map(
-            lambda x: x.block_until_ready()
-            if hasattr(x, "block_until_ready") else x, out)
+        _sync(fn(*args))
     return (time.time() - t0) / nrep
 
 
