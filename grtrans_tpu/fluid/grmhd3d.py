@@ -112,11 +112,16 @@ class Grmhd3D:
             if g.shape[0] != nt:          # static extra field on a
                 g = jnp.broadcast_to(g, (nt,) + g.shape[1:])  # time series
             arrs.append(g)
-        st = jnp.stack(arrs, axis=-1)
-        st = st.reshape(nt, -1, len(names)).astype(dtype)
-        self._fstack = st
+        st = jnp.stack(arrs, axis=-1)                 # (nt,n1,n2,n3,nf)
+        # phi-PAIR packing: each entry also carries its phi+1 neighbor
+        # (periodic wrap) contiguously, so the trilinear sample needs 4
+        # gathers of 2*nf contiguous floats instead of 8 of nf — TPU
+        # gathers are descriptor-latency-bound.  2x memory on the stack.
+        stp = jnp.concatenate([st, jnp.roll(st, -1, axis=3)], axis=-1)
+        stp = stp.reshape(nt, -1, 2 * len(names)).astype(dtype)
+        self._fstack = stp
         self._fstack_key = key
-        return st, names
+        return stp, names
 
     def vals(self, x, k, a, time=0.0):
         nx1 = int(self.uniqx1.shape[0])
@@ -181,36 +186,31 @@ class Grmhd3D:
             tind = jnp.zeros(r.shape, int)
             ttd = jnp.zeros_like(r)
 
-        w000 = (1 - rd) * (1 - td) * (1 - pd)
-        w010 = (1 - rd) * td * (1 - pd)
-        w100 = rd * (1 - td) * (1 - pd)
-        w110 = rd * td * (1 - pd)
-        w001 = (1 - rd) * (1 - td) * pd
-        w011 = (1 - rd) * td * pd
-        w101 = rd * (1 - td) * pd
-        w111 = rd * td * pd
-
-        # ALL fields in one stacked trilinear gather (8 corner gathers
-        # of contiguous nf-vectors; 16 with the time blend)
+        # ALL fields in a phi-pair-packed trilinear gather: 4 corner
+        # gathers of contiguous 2*nf-vectors (8 with the time blend)
         G, names = self._stacked_fields(r.dtype)
         NS = G.shape[1]
-        Gf = G.reshape(-1, G.shape[-1])          # (nt*NS, nf)
+        nf = len(names)
+        Gf = G.reshape(-1, G.shape[-1])          # (nt*NS, 2*nf)
         base_lo = (lx1 * nx2 + lx2) * nx3
         base_hi = (lx1 * nx2 + lx2 + 1) * nx3
         base1_lo = ((lx1 + 1) * nx2 + lx2) * nx3
         base1_hi = ((lx1 + 1) * nx2 + lx2 + 1) * nx3
         dt_ = r.dtype
+        pdc = pd.astype(dt_)
         ws = [w.astype(dt_) for w in
-              (w000, w010, w100, w110, w001, w011, w101, w111)]
+              ((1 - rd) * (1 - td), (1 - rd) * td,
+               rd * (1 - td), rd * td)]
         idxs = (base_lo + lx3, base_hi + lx3, base1_lo + lx3,
-                base1_hi + lx3, base_lo + ux3, base_hi + ux3,
-                base1_lo + ux3, base1_hi + ux3)
+                base1_hi + lx3)
 
         def at(t):
             off = t * NS
             out = None
             for w, i in zip(ws, idxs):
-                v = Gf[off + i] * w[..., None]
+                q = Gf[off + i]
+                v = (q[..., :nf] * (1 - pdc)[..., None]
+                     + q[..., nf:] * pdc[..., None]) * w[..., None]
                 out = v if out is None else out + v
             return out
 

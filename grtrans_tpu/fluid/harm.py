@@ -119,11 +119,11 @@ class Harm:
             "bth": b_bl[..., 2].reshape(shape),
             "bph": b_bl[..., 3].reshape(shape),
         }
-        from grtrans_tpu.ops.interp import stack_grid_fields
+        from grtrans_tpu.ops.interp import pack_corners_2d
         self.FIELDS = ("rho", "p", "u0", "vrl", "vtl", "vpl",
                        "b0", "br", "bth", "bph")
-        self.fstack = stack_grid_fields(self.f, self.FIELDS)
-        self.fstack32 = self.fstack.astype(jnp.float32)
+        self.fquad = pack_corners_2d(self.f, self.FIELDS)
+        self.fquad32 = self.fquad.astype(jnp.float32)
 
     def vals(self, x, k, a):
         nx1, nx2 = self.nx1, self.nx2
@@ -147,11 +147,11 @@ class Harm:
         td = jnp.clip(td, 0.0, 1.0)
         inside = x1 > u1a
 
-        # all 10 fields in one stacked bilinear gather (ops/interp.py)
-        from grtrans_tpu.ops.interp import bilinear_stacked
-        G = self.fstack32 if r.dtype == jnp.float32 else self.fstack
-        vals = bilinear_stacked(G, nx2, lx1, lx2, rd.astype(r.dtype),
-                                td.astype(r.dtype))
+        # all 10 fields x 4 corners in ONE packed gather (ops/interp.py)
+        from grtrans_tpu.ops.interp import bilinear_packed
+        G = self.fquad32 if r.dtype == jnp.float32 else self.fquad
+        vals = bilinear_packed(G, nx2, len(self.FIELDS), lx1, lx2,
+                               rd.astype(r.dtype), td.astype(r.dtype))
         fill = jnp.asarray([0.0, 1.0, 1.0, 0.0, 0.0, 0.0,
                             0.0, 0.0, 0.0, 1.0], dtype=vals.dtype)
         vals = jnp.where(inside[..., None], vals, fill)

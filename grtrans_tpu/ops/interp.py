@@ -106,3 +106,32 @@ def bilinear_stacked(G, n2, i1, i2, w1, w2):
             + G[i00 + n2] * (w1 * (1 - w2))[..., None]
             + G[i00 + 1] * ((1 - w1) * w2)[..., None]
             + G[i00 + n2 + 1] * (w1 * w2)[..., None])
+
+
+def pack_corners_2d(fields, order):
+    """Corner-packed quad table: entry (i1, i2) holds the 2x2 cell's
+    four corner values of ALL fields contiguously, flattened to
+    (n1*n2, 4*nf).  One bilinear sample = ONE gather of 4*nf contiguous
+    floats (TPU gathers are descriptor-latency-bound: same bytes as the
+    4 separate corner gathers, 4x fewer descriptors).  Edge rows are
+    duplicated; cell indices are clipped to n-2 so the pad is never
+    addressed.  Corner order: (0,0), (1,0), (0,1), (1,1) in (i1, i2)
+    offsets."""
+    import numpy as _np
+    A = _np.stack([_np.asarray(fields[k]) for k in order], axis=-1)
+    A1 = _np.concatenate([A[1:], A[-1:]], axis=0)          # i1+1
+    B0 = _np.concatenate([A[:, 1:], A[:, -1:]], axis=1)    # i2+1
+    B1 = _np.concatenate([A1[:, 1:], A1[:, -1:]], axis=1)
+    quad = _np.stack([A, A1, B0, B1], axis=2)              # (n1,n2,4,nf)
+    n1, n2 = A.shape[:2]
+    return jnp.asarray(quad.reshape(n1 * n2, 4 * len(order)))
+
+
+def bilinear_packed(Q, n2, nf, i1, i2, w1, w2):
+    """Bilinear sample from a pack_corners_2d table Q ((n1*n2, 4*nf)):
+    returns (..., nf).  w1/w2 are the fractional weights along axis
+    1/axis 2."""
+    q = Q[i1 * n2 + i2].reshape(i1.shape + (4, nf))
+    w = jnp.stack([(1 - w1) * (1 - w2), w1 * (1 - w2),
+                   (1 - w1) * w2, w1 * w2], axis=-1)
+    return jnp.sum(q * w[..., None], axis=-2)
