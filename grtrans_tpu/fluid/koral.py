@@ -220,6 +220,10 @@ class Koral(_KoralBase):
         self.uniqr = self.r0 + jnp.exp(self.uniqx1)
         arrs = _lnrf_store(d, self.scalefac)
         self.f = {k: v.reshape(nx1, nx2) for k, v in arrs.items()}
+        from grtrans_tpu.ops.interp import pack_corners_2d
+        self.KFIELDS = ("rho", "te", "be", "u0", "vrl", "vtl", "vpl",
+                        "b0", "br", "bth", "bph")
+        self.fquad = pack_corners_2d(self.f, self.KFIELDS)
         if self.nrelbin > 0:
             self.fn = jnp.asarray(d["nnth"]).reshape(
                 nx1, nx2, self.nrelbin) * self.scalefac
@@ -256,9 +260,14 @@ class Koral(_KoralBase):
         trusted &= ((x2 > self.uniqx2[self.minpolecell - 1])
                     & (x2 < self.uniqx2[nx2 - self.minpolecell]))
 
-        def bilin(g):
-            # extra trailing axes (nonthermal bins) broadcast against
-            # the interpolation weights
+        # all 11 scalar fields in ONE corner-packed gather; the
+        # nonthermal bins keep the per-field path (trailing bins axis)
+        from grtrans_tpu.ops.interp import bilinear_packed
+        cols = bilinear_packed(self.fquad, nx2, len(self.KFIELDS),
+                               lx1, lx2, rd, td)
+        col = {n: cols[..., i] for i, n in enumerate(self.KFIELDS)}
+
+        def bilin_bins(g):
             def w(wt):
                 ex = g.ndim - 2
                 return wt[(...,) + (None,) * ex] if ex else wt
@@ -267,18 +276,17 @@ class Koral(_KoralBase):
                     + g[lx1, lx2 + 1] * w((1 - rd) * td)
                     + g[lx1 + 1, lx2 + 1] * w(rd * td))
 
-        return self._assemble(bilin, trusted, r, th, a)
+        return self._assemble(col, bilin_bins, trusted, r, th, a)
 
-    def _assemble(self, samp, trusted, r, th, a):
-        rho = jnp.where(trusted, samp(self.f["rho"]), 0.0)
-        te = jnp.where(trusted, samp(self.f["te"]), 1.0)
-        be = jnp.where(trusted, samp(self.f["be"]), 0.0)
-        u0 = jnp.where(trusted, samp(self.f["u0"]), 1.0)
-        vrl = jnp.where(trusted, samp(self.f["vrl"]), 0.0)
-        vtl = jnp.where(trusted, samp(self.f["vtl"]), 0.0)
-        vpl = jnp.where(trusted, samp(self.f["vpl"]), 0.0)
-        b = jnp.stack([samp(self.f["b0"]), samp(self.f["br"]),
-                       samp(self.f["bth"]), samp(self.f["bph"])],
+    def _assemble(self, col, samp_bins, trusted, r, th, a):
+        rho = jnp.where(trusted, col["rho"], 0.0)
+        te = jnp.where(trusted, col["te"], 1.0)
+        be = jnp.where(trusted, col["be"], 0.0)
+        u0 = jnp.where(trusted, col["u0"], 1.0)
+        vrl = jnp.where(trusted, col["vrl"], 0.0)
+        vtl = jnp.where(trusted, col["vtl"], 0.0)
+        vpl = jnp.where(trusted, col["vpl"], 0.0)
+        b = jnp.stack([col["b0"], col["br"], col["bth"], col["bph"]],
                       axis=-1)
         b = jnp.where(trusted[..., None], b,
                       jnp.array([0.0, 0.0, 0.0, 1.0]))
@@ -288,7 +296,7 @@ class Koral(_KoralBase):
         u = jnp.stack([u0, u0 * vr, u0 * vth, u0 * om], axis=-1)
         nbins = None
         if self.fn is not None:
-            nbins = jnp.where(trusted[..., None], samp(self.fn), 0.0)
+            nbins = jnp.where(trusted[..., None], samp_bins(self.fn), 0.0)
         return FluidVars(rho=rho, p=te, bmag=bmag, u=u, b=b, rho2=rho,
                          nbins=nbins, be=be)
 
@@ -324,6 +332,14 @@ class Koral3D(_KoralBase):
         self.uniqph = self.uniqx3
         arrs = _lnrf_store(d, self.scalefac)
         self.f = {k: v.reshape(shape) for k, v in arrs.items()}
+        # phi-PAIR-packed field stack (see grmhd3d._stacked_fields): a
+        # trilinear sample = 4 gathers of 2*nf contiguous floats
+        self.KFIELDS = ("rho", "te", "be", "u0", "vrl", "vtl", "vpl",
+                        "b0", "br", "bth", "bph")
+        st = jnp.stack([jnp.asarray(self.f[k]) for k in self.KFIELDS],
+                       axis=-1)                  # (nx3, nx1, nx2, nf)
+        stp = jnp.concatenate([st, jnp.roll(st, -1, axis=0)], axis=-1)
+        self.fpair = stp.reshape(-1, 2 * len(self.KFIELDS))
         if self.nrelbin > 0:
             self.fn = jnp.asarray(d["nnth"]).reshape(
                 shape + (self.nrelbin,)) * self.scalefac
@@ -383,6 +399,20 @@ class Koral3D(_KoralBase):
         w10 = rd * (1 - td)
         w11 = rd * td
 
+        # all 11 scalar fields: 4 corner gathers of phi-pair-packed
+        # 2*nf-vectors (the phi wrap is baked into the pair)
+        nf = len(self.KFIELDS)
+        base = (lx3 * nx1 + lx1) * nx2 + lx2
+        base1 = (lx3 * nx1 + lx1 + 1) * nx2 + lx2
+        out = None
+        for wgt, idx in ((w00, base), (w01, base + 1),
+                         (w10, base1), (w11, base1 + 1)):
+            q = self.fpair[idx]
+            v = (q[..., :nf] * (1 - pd)[..., None]
+                 + q[..., nf:] * pd[..., None]) * wgt[..., None]
+            out = v if out is None else out + v
+        col = {n: out[..., i] for i, n in enumerate(self.KFIELDS)}
+
         def tri(g):
             def w(wt):
                 ex = g.ndim - 3
@@ -396,15 +426,15 @@ class Koral3D(_KoralBase):
                        + g[ux3, lx1 + 1, lx2] * w(w10 * pd)
                        + g[ux3, lx1 + 1, lx2 + 1] * w(w11 * pd)))
 
-        rho = jnp.where(trusted, tri(self.f["rho"]), 0.0) * damp
-        te = jnp.where(trusted, tri(self.f["te"]), 1.0) * damp
-        be = jnp.where(trusted, tri(self.f["be"]), 0.0)
-        u0 = jnp.where(trusted, tri(self.f["u0"]), 1.0)
-        vrl = jnp.where(trusted, tri(self.f["vrl"]), 0.0)
-        vtl = jnp.where(trusted, tri(self.f["vtl"]), 0.0)
-        vpl = jnp.where(trusted, tri(self.f["vpl"]), 0.0)
-        b = jnp.stack([tri(self.f["b0"]), tri(self.f["br"]),
-                       tri(self.f["bth"]), tri(self.f["bph"])], axis=-1)
+        rho = jnp.where(trusted, col["rho"], 0.0) * damp
+        te = jnp.where(trusted, col["te"], 1.0) * damp
+        be = jnp.where(trusted, col["be"], 0.0)
+        u0 = jnp.where(trusted, col["u0"], 1.0)
+        vrl = jnp.where(trusted, col["vrl"], 0.0)
+        vtl = jnp.where(trusted, col["vtl"], 0.0)
+        vpl = jnp.where(trusted, col["vpl"], 0.0)
+        b = jnp.stack([col["b0"], col["br"], col["bth"], col["bph"]],
+                      axis=-1)
         b = jnp.where(trusted[..., None], b,
                       jnp.array([0.0, 0.0, 0.0, 1.0]))
         g_cov = kerr.metric_cov(r, th, a)

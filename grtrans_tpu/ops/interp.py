@@ -135,3 +135,53 @@ def bilinear_packed(Q, n2, nf, i1, i2, w1, w2):
     w = jnp.stack([(1 - w1) * (1 - w2), w1 * (1 - w2),
                    (1 - w1) * w2, w1 * w2], axis=-1)
     return jnp.sum(q * w[..., None], axis=-2)
+
+
+def polint(x, y):
+    """Newton divided-difference coefficients of the interpolating
+    polynomial through (x_i, y_i) — vectorized over leading batch axes
+    (x, y: (..., n), n static).  Parity: the reference's vendored SLATEC
+    POLINT (polint.f:44-57, used via interpolate.f90:25-29); the
+    divided-difference loop is unrolled at trace time (n is small).
+    Returns c (..., n) with
+    p(t) = c0 + (t-x0)(c1 + (t-x1)(c2 + ...))."""
+    n = x.shape[-1]
+    cs = [y[..., 0]]
+    # c_k: k-th divided difference built by the same recurrence as the
+    # reference (sequential in i, so coefficients match SLATEC exactly)
+    for k in range(1, n):
+        ck = y[..., k]
+        for i in range(k):
+            ck = (cs[i] - ck) / (x[..., i] - x[..., k])
+        cs.append(ck)
+    return jnp.stack(cs, axis=-1)
+
+
+def polyvl(xx, x, c, nder=0):
+    """Evaluate the POLINT polynomial (and its first `nder`
+    derivatives) at xx.  Parity: SLATEC POLYVL (polyvl.f).
+    xx: (...,) query; x, c: (..., n).  Returns yfit or
+    (yfit, [dp/dt, d2p/dt2, ...])."""
+    import jax as _jax
+
+    def horner(t):
+        n = x.shape[-1]
+        p = c[..., n - 1]
+        for k in range(n - 2, -1, -1):
+            p = c[..., k] + (t - x[..., k]) * p
+        return p
+
+    p = horner(xx)
+    if nder == 0:
+        return p
+    # derivatives by forward-mode AD of the Newton form — exact, and
+    # free of the reference's 2n-scratch recurrences (polyvl.f)
+    derivs = []
+    f = horner
+    for _ in range(nder):
+        def df(t, fp=f):
+            _, d = _jax.jvp(fp, (t,), (jnp.ones_like(t),))
+            return d
+        derivs.append(df(xx))
+        f = df
+    return p, derivs

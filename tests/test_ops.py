@@ -212,3 +212,43 @@ class TestQuadrature:
         F = np.asarray(quadrature.cumulative_segments(jnp.exp, pts, n=8))
         np.testing.assert_allclose(F, np.exp(np.asarray(pts)) - 1.0,
                                    rtol=1e-12)
+
+
+class TestPolint:
+    """SLATEC POLINT/POLYVL parity (reference interpolate.f90:25-29 +
+    vendored polint.f/polyvl.f)."""
+
+    def test_interpolates_exactly_through_nodes(self):
+        from grtrans_tpu.ops.interp import polint, polyvl
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(np.sort(rng.uniform(-2, 2, (5, 6)), axis=-1))
+        y = jnp.asarray(rng.uniform(-1, 1, (5, 6)))
+        c = polint(x, y)
+        for i in range(6):
+            v = polyvl(x[..., i], x, c)
+            np.testing.assert_allclose(np.asarray(v), np.asarray(y[..., i]),
+                                       rtol=1e-9, atol=1e-9)
+
+    def test_matches_numpy_polyfit_polynomial(self):
+        from grtrans_tpu.ops.interp import polint, polyvl
+        xs = np.array([0.0, 0.7, 1.1, 2.3, 3.1])
+        ys = 2.0 - xs + 0.5 * xs ** 2 + 0.1 * xs ** 3 - 0.02 * xs ** 4
+        c = polint(jnp.asarray(xs)[None], jnp.asarray(ys)[None])
+        t = np.linspace(-0.5, 3.5, 11)
+        got = np.array([float(np.asarray(polyvl(jnp.asarray([tt]),
+                                                jnp.asarray(xs)[None],
+                                                c))[0]) for tt in t])
+        expect = 2.0 - t + 0.5 * t ** 2 + 0.1 * t ** 3 - 0.02 * t ** 4
+        np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-9)
+
+    def test_derivative(self):
+        from grtrans_tpu.ops.interp import polint, polyvl
+        xs = np.array([0.0, 0.5, 1.0, 1.5])
+        ys = 1.0 + 3.0 * xs - xs ** 2          # quadratic: exact
+        c = polint(jnp.asarray(xs)[None], jnp.asarray(ys)[None])
+        v, (d1,) = polyvl(jnp.asarray([0.8]), jnp.asarray(xs)[None], c,
+                          nder=1)
+        np.testing.assert_allclose(np.asarray(v)[0],
+                                   1.0 + 3 * 0.8 - 0.8 ** 2, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(d1)[0], 3.0 - 2 * 0.8,
+                                   rtol=1e-9)
