@@ -448,6 +448,14 @@ class HarmPI:
             if k in d:
                 self.f[k] = jnp.asarray(d[k]).reshape(shape)
         self.has_kel = "kela" in self.f
+        # all fields stacked minor-most: the nearest-neighbor sample is
+        # ONE contiguous gather instead of 10-14 scalar gathers
+        self.PFIELDS = ("rho", "p", "u0", "vrl", "vtl", "vpl",
+                        "b0", "br", "bth", "bph") + (
+            ("kela", "kelb", "kelc", "keld") if self.has_kel else ())
+        self.fstack = jnp.stack(
+            [self.f[k] for k in self.PFIELDS],
+            axis=-1).reshape(-1, len(self.PFIELDS))
 
     def _theta_of_x2(self, x2, r):
         if self.BL == 3:
@@ -509,17 +517,17 @@ class HarmPI:
         damp = jnp.where(inner, 1e-3, 1.0)
         outside = x1 <= u1a
 
-        def nn(g):
-            return g[ix1, ix2, ix3]
-
-        rho = jnp.where(outside, 0.0, nn(self.f["rho"])) * damp
-        p = jnp.where(outside, 1e-18, nn(self.f["p"])) * damp
-        u0 = jnp.where(outside, 1.0, nn(self.f["u0"]))
-        vrl = jnp.where(outside, 0.0, nn(self.f["vrl"]))
-        vtl = jnp.where(outside, 0.0, nn(self.f["vtl"]))
-        vpl = jnp.where(outside, 0.0, nn(self.f["vpl"]))
-        b = jnp.stack([nn(self.f["b0"]), nn(self.f["br"]),
-                       nn(self.f["bth"]), nn(self.f["bph"])], axis=-1)
+        # ONE stacked nearest-neighbor gather of every field
+        vals = self.fstack[(ix1 * nx2 + ix2) * nx3 + ix3]
+        col = {n: vals[..., i] for i, n in enumerate(self.PFIELDS)}
+        rho = jnp.where(outside, 0.0, col["rho"]) * damp
+        p = jnp.where(outside, 1e-18, col["p"]) * damp
+        u0 = jnp.where(outside, 1.0, col["u0"])
+        vrl = jnp.where(outside, 0.0, col["vrl"])
+        vtl = jnp.where(outside, 0.0, col["vtl"])
+        vpl = jnp.where(outside, 0.0, col["vpl"])
+        b = jnp.stack([col["b0"], col["br"], col["bth"], col["bph"]],
+                      axis=-1)
         b = jnp.where(outside[..., None],
                       jnp.array([0.0, 0.0, 0.0, 1.0]), b)
         g_cov = kerr.metric_cov(r, th, a)
@@ -529,7 +537,7 @@ class HarmPI:
         kel = {}
         if self.has_kel:
             for kk in ("kela", "kelb", "kelc", "keld"):
-                kel[kk] = jnp.where(outside, 0.0, nn(self.f[kk]))
+                kel[kk] = jnp.where(outside, 0.0, col[kk])
         self._kel = kel
         return FluidVars(rho=rho, p=p, bmag=bmag, u=u, b=b, rho2=rho,
                          kela=kel.get("kela"))

@@ -132,6 +132,7 @@ class MB09(ThickDisk):
             vrl=vrl, vtl=vtl, vpl=vpl, b0=b_bl[..., 0],
             br=b_bl[..., 1], bth=b_bl[..., 2],
             bph=b_bl[..., 3]).items()}
+        self._build_pair_stack()
 
     def convert(self, fv_, sp):
         """convert_fluidvars_mb09 (fluid.f90:942-957)."""

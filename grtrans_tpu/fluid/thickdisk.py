@@ -215,6 +215,18 @@ class ThickDisk:
             rho=rho, p=p, u0=u_bl[..., 0], vrl=vrl, vtl=vtl, vpl=vpl,
             b0=b_bl[..., 0], br=b_bl[..., 1], bth=b_bl[..., 2],
             bph=b_bl[..., 3]).items()}
+        self._build_pair_stack()
+
+    def _build_pair_stack(self):
+        """phi-PAIR-packed field stack over the (nx3, nx2, nx1) grids:
+        one trilinear sample = 4 corner gathers of 2*nf contiguous
+        floats (phi wrap baked in).  Shared with MB09 (same layout)."""
+        self.TFIELDS = ("rho", "p", "u0", "vrl", "vtl", "vpl",
+                        "b0", "br", "bth", "bph")
+        st = jnp.stack([jnp.asarray(self.f[k]) for k in self.TFIELDS],
+                       axis=-1)
+        stp = jnp.concatenate([st, jnp.roll(st, -1, axis=0)], axis=-1)
+        self.fpair = stp.reshape(-1, 2 * len(self.TFIELDS))
 
     def vals(self, x, k, a):
         nx1, nx2, nx3 = self.nx1, self.nx2, self.nx3
@@ -254,23 +266,27 @@ class ThickDisk:
         w10 = rd * (1 - td)
         w11 = rd * td
 
-        def tri(g):
-            return ((g[lx3, lx2, lx1] * w00 + g[lx3, lx2 + 1, lx1] * w01
-                     + g[lx3, lx2, lx1 + 1] * w10
-                     + g[lx3, lx2 + 1, lx1 + 1] * w11) * (1 - pd)
-                    + (g[ux3, lx2, lx1] * w00
-                       + g[ux3, lx2 + 1, lx1] * w01
-                       + g[ux3, lx2, lx1 + 1] * w10
-                       + g[ux3, lx2 + 1, lx1 + 1] * w11) * pd)
+        # all 10 fields: 4 corner gathers of phi-pair-packed vectors
+        nf = len(self.TFIELDS)
+        base = (lx3 * nx2 + lx2) * nx1 + lx1
+        base1 = (lx3 * nx2 + lx2 + 1) * nx1 + lx1
+        out = None
+        for wgt, idx in ((w00, base), (w01, base1),
+                         (w10, base + 1), (w11, base1 + 1)):
+            q = self.fpair[idx]
+            v = (q[..., :nf] * (1 - pd)[..., None]
+                 + q[..., nf:] * pd[..., None]) * wgt[..., None]
+            out = v if out is None else out + v
+        col = {n: out[..., i] for i, n in enumerate(self.TFIELDS)}
 
-        rho = jnp.where(outside, 0.0, tri(self.f["rho"]))
-        p = jnp.where(outside, 1e-18, tri(self.f["p"]))
-        u0 = jnp.where(outside, 1.0, tri(self.f["u0"]))
-        vrl = jnp.where(outside, 0.0, tri(self.f["vrl"]))
-        vtl = jnp.where(outside, 0.0, tri(self.f["vtl"]))
-        vpl = jnp.where(outside, 0.0, tri(self.f["vpl"]))
-        b = jnp.stack([tri(self.f["b0"]), tri(self.f["br"]),
-                       tri(self.f["bth"]), tri(self.f["bph"])], axis=-1)
+        rho = jnp.where(outside, 0.0, col["rho"])
+        p = jnp.where(outside, 1e-18, col["p"])
+        u0 = jnp.where(outside, 1.0, col["u0"])
+        vrl = jnp.where(outside, 0.0, col["vrl"])
+        vtl = jnp.where(outside, 0.0, col["vtl"])
+        vpl = jnp.where(outside, 0.0, col["vpl"])
+        b = jnp.stack([col["b0"], col["br"], col["bth"], col["bph"]],
+                      axis=-1)
         b = jnp.where(outside[..., None],
                       jnp.array([0.0, 0.0, 0.0, 1.0]), b)
         g_cov = kerr.metric_cov(r, th, a)
