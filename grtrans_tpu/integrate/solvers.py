@@ -621,40 +621,28 @@ def formal_solve(lam, j, K, mask=None, max_tau=MAX_TAU, I0=None, substeps=1,
     return _scan_to_observer(O, p, I0)
 
 
-@jax.jit
-def delo_solve(lam, j, K, mask=None, max_tau=MAX_TAU, thin=THIN, I0=None):
-    """DELO linear short-characteristics solver (reference iflag=1,
-    :795-842) with the optically-thin Taylor branch (:746-793)."""
-    j, K = passivity_clamp(j, K)
-    aI = K[..., 0]
-    acomp = tuple(K[..., i] for i in range(4))
-    rcomp = tuple(K[..., i] for i in range(4, 7))
-    Kfull = _opac_m4(acomp, rcomp)                       # (4,4,npix,npts)
-    jc = jnp.moveaxis(j, -1, 0)[:, None]                 # (4,1,npix,npts)
-    dlam = lam[..., 1:] - lam[..., :-1]
-    tau, cell_ok = _cell_tau_mask(lam, K, mask, max_tau)
-    delta = 0.5 * (aI[..., 1:] + aI[..., :-1]) * dlam
+def _delo_cells(j0, j1, K0, K1, aI0, aI1, dlam, thin):
+    """Per-cell DELO affine map (Q, P): the math of delo_solve's cell
+    construction on an ARBITRARY batch shape — full (npix, ncell)
+    arrays for the associative path, per-cell (npix,) slices inside the
+    sequential march.  "0" = observer-side sample, "1" = far side.
 
-    eye = _eye4(Kfull)
-    # "0" = observer-side sample of the cell, "1" = far-side sample
-    K0 = Kfull[..., :-1]
-    K1 = Kfull[..., 1:]
-    j0 = jc[..., :-1]
-    j1 = jc[..., 1:]
-    # division floors must be sqrt(tiny), NOT tiny: the divide VJP
-    # computes -g*x/y^2 and tiny^2 underflows to 0, turning masked
-    # cells' cotangents into 0/0 NaN (round-1 regression class).
-    # Additionally floor each endpoint RELATIVE to the cell's mean
-    # absorption: a cell with one nearly-transparent endpoint otherwise
-    # explodes S = j/a to ~1/floor (DELO's per-point source functions
-    # are meaningless across such a discontinuity anyway; the reference
-    # divides unfloored and relies on post-hoc NaN zeroing,
-    # radtrans_integrate.f90:192-196)
+    Division floors must be sqrt(tiny), NOT tiny: the divide VJP
+    computes -g*x/y^2 and tiny^2 underflows to 0, turning masked cells'
+    cotangents into 0/0 NaN (round-1 regression class).  Each endpoint
+    is additionally floored RELATIVE to the cell's mean absorption: a
+    cell with one nearly-transparent endpoint otherwise explodes
+    S = j/a to ~1/floor (DELO's per-point source functions are
+    meaningless across such a discontinuity anyway; the reference
+    divides unfloored and relies on post-hoc NaN zeroing,
+    radtrans_integrate.f90:192-196)."""
+    eye = _eye4(K0)
+    delta = 0.5 * (aI0 + aI1) * dlam
     floor = _SQRT_TINY
     avg_a = delta / jnp.maximum(dlam, floor)
     rel = jnp.maximum(1e-8 * avg_a, floor)
-    a0 = jnp.maximum(aI[..., :-1], rel)
-    a1 = jnp.maximum(aI[..., 1:], rel)
+    a0 = jnp.maximum(aI0, rel)
+    a1 = jnp.maximum(aI1, rel)
 
     # thick branch (delta > thin); G's division is gated on the thick
     # mask so thin/zero cells feed a sanitized denominator
@@ -683,6 +671,63 @@ def delo_solve(lam, j, K, mask=None, max_tau=MAX_TAU, thin=THIN, I0=None):
 
     Q = jnp.where(thick, Qthick, Qthin)
     P = jnp.where(thick, Pthick, Pthin)
+    return Q, P
+
+
+@partial(jax.jit, static_argnames=("seq",))
+def delo_solve(lam, j, K, mask=None, max_tau=MAX_TAU, thin=THIN, I0=None,
+               seq="auto"):
+    """DELO linear short-characteristics solver (reference iflag=1,
+    :795-842) with the optically-thin Taylor branch (:746-793).
+
+    seq: like formal_solve — large batches march sequentially in cells
+    (construction fused into the loop; the associative scan's HBM
+    temporaries are pathological on TPU at npix x npts scale)."""
+    j, K = passivity_clamp(j, K)
+    aI = K[..., 0]
+    acomp = tuple(K[..., i] for i in range(4))
+    rcomp = tuple(K[..., i] for i in range(4, 7))
+    jc = jnp.moveaxis(j, -1, 0)[:, None]                 # (4,1,npix,npts)
+    dlam = lam[..., 1:] - lam[..., :-1]
+    tau, cell_ok = _cell_tau_mask(lam, K, mask, max_tau)
+
+    ncell = dlam.shape[-1]
+    npixb = int(np.prod(dlam.shape[:-1])) if dlam.ndim > 1 else 1
+    if seq is True or (seq == "auto" and ncell >= 64 and npixb >= 256):
+        def prep(x):                 # (..., ncell) -> far-first leading
+            return jnp.moveaxis(jnp.flip(x, -1), -1, 0)
+
+        Kcomp = acomp + rcomp
+        xs = (prep(jc[..., :-1]), prep(jc[..., 1:]),
+              tuple(prep(c[..., :-1]) for c in Kcomp),
+              tuple(prep(c[..., 1:]) for c in Kcomp),
+              prep(dlam), prep(cell_ok))
+        if I0 is None:
+            I0c = jnp.zeros((4, 1) + lam.shape[:1], dtype=j.dtype)
+        else:
+            I0v = jnp.broadcast_to(jnp.atleast_2d(jnp.asarray(I0)),
+                                   (lam.shape[0], 4))
+            I0c = jnp.moveaxis(I0v, -1, 0)[:, None].astype(j.dtype)
+
+        def cell(I, inp):
+            j0, j1, K0c, K1c, d, ok = inp
+            K0 = _opac_m4(K0c[:4], K0c[4:])
+            K1 = _opac_m4(K1c[:4], K1c[4:])
+            Q, P = _delo_cells(j0, j1, K0, K1, K0c[0], K1c[0], d, thin)
+            Inew = _mm(Q, I) + P
+            I = jnp.where(ok, Inew, I)
+            return I, I[:, 0]
+
+        _, ys = jax.lax.scan(cell, I0c, xs)
+        prof = jnp.flip(ys, axis=0)
+        far = jnp.broadcast_to(I0c[:, 0][None], prof[:1].shape)
+        prof = jnp.concatenate([prof, far], axis=0)
+        return jnp.transpose(prof, (2, 0, 1))
+
+    Kfull = _opac_m4(acomp, rcomp)                       # (4,4,npix,npts)
+    Q, P = _delo_cells(jc[..., :-1], jc[..., 1:],
+                       Kfull[..., :-1], Kfull[..., 1:],
+                       aI[..., :-1], aI[..., 1:], dlam, thin)
     Q, P = _mask_cells(Q, P, cell_ok)
     return _scan_to_observer(Q, P, I0)
 
