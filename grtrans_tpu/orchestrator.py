@@ -37,10 +37,38 @@ def _source_params(cfg, mdot):
 # grtrans_run used to rebuild its jitted closure per call — every call
 # re-traced the whole pipeline (tens of seconds of host work for at-scale
 # graphs) even though the XLA executable was already cached.  Key on the
-# full config repr + the model object (a strong ref is held so id() stays
-# valid) + the model's mutable time-series attributes.
-_RENDER_CACHE = {}
+# full config repr + id(model) + the model's mutable time-series
+# attributes (_epoch covers in-place GRMHD buffer swaps).  The entry
+# holds only a WEAK reference to the model: a hit requires the weakref
+# to resolve to the very same live object, so id() reuse after gc can
+# never serve a stale closure, and the cache does not pin snapshot HBM.
+# Eviction is LRU (hits move the entry to the back; evict the front).
+import collections
+import weakref
+
+_RENDER_CACHE = collections.OrderedDict()
 _RENDER_CACHE_MAX = 8
+
+
+def _render_cache_get(key, model):
+    ent = _RENDER_CACHE.get(key)
+    if ent is None:
+        return None
+    if ent[0]() is not model:           # dead or id-reused model
+        del _RENDER_CACHE[key]
+        return None
+    _RENDER_CACHE.move_to_end(key)
+    return ent
+
+
+def _render_cache_put(key, model, fns):
+    while len(_RENDER_CACHE) >= _RENDER_CACHE_MAX:
+        _RENDER_CACHE.popitem(last=False)           # LRU eviction
+    try:
+        wref = weakref.ref(model)
+    except TypeError:                   # non-weakref-able model object
+        wref = (lambda m=model: m)
+    _RENDER_CACHE[key] = (wref,) + tuple(fns)
 
 
 from functools import lru_cache as _lru
@@ -117,7 +145,7 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
     _use_uout = cfg.uout > _probe.u0 * 1.0001
 
     _ck = _render_fn_key(cfg, model)
-    _cached = _RENDER_CACHE.get(_ck)
+    _cached = _render_cache_get(_ck, model)
 
     timedep = getattr(model, "timedep", False)
     # slow light (reference nload>1, pgrtrans.f90:177-191): the fluid is a
@@ -173,10 +201,8 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
     if _cached is not None:
         _render_camera, _trace_jit, _render_geo_jit = _cached[1:4]
     else:
-        if len(_RENDER_CACHE) >= _RENDER_CACHE_MAX:
-            _RENDER_CACHE.pop(next(iter(_RENDER_CACHE)))
-        _RENDER_CACHE[_ck] = (model, _render_camera, _trace_jit,
-                              _render_geo_jit)
+        _render_cache_put(_ck, model,
+                          (_render_camera, _trace_jit, _render_geo_jit))
 
     ivals_all = []
     ab = None

@@ -84,14 +84,45 @@ class TestPowerlawSynch:
                     gridvals=(-10.0, 10.0, -10.0, 10.0),
                     fargs=dict(n0=3e7, t0=6e10, beta=10.0))
         specs = {}
-        for iname in ("formal", "delo", "lsoda"):
+        for iname in ("formal", "delo", "lsoda", "lsodasph"):
             cfg = GrtransConfig(iname=iname, **base)
             ivals, _, _ = grtrans_run(cfg)
             specs[iname] = ivals[0, :, 0].sum()
         ref = specs["formal"]
-        # cross-integrator consistency (reference accepts <=5%)
+        # cross-integrator consistency (reference accepts <=5%,
+        # run_grtrans_test_problems_public.py:88-107)
         assert abs(specs["delo"] - ref) < 0.05 * ref
         assert abs(specs["lsoda"] - ref) < 0.02 * ref
+        assert abs(specs["lsodasph"] - ref) < 0.05 * ref
+
+
+class TestLsodasphRealistic:
+    """Regression gate for the round-2 showstopper: iname='lsodasph'
+    NaN'd on cgs-scaled SARIAF coefficients (K dlam ~ 1e3 per cell blew
+    up the explicit RK4; radtrans_integrate.f90:468-613 reaches the
+    same regime through LSODA's implicit stepping).  The redesigned
+    exponential-splitting integrator (solvers._sph_substep) must return
+    a finite image agreeing with 'formal' — measured 0.22% when the fix
+    landed; the bar is 1%."""
+
+    def test_lsodasph_realistic(self):
+        base = dict(fname="SARIAF", ename="POLSYNCHTH", nvals=4,
+                    spin=0.9, standard=1, nn=(10, 10, 48), mbh=4e6,
+                    mumin=0.5, mumax=0.5, nfreq=1, fmin=2.3e11,
+                    fmax=2.3e11, gridvals=(-12.0, 12.0, -12.0, 12.0),
+                    fargs=dict(n0=4e7, t0=1.6e11, beta=10.0))
+        images = {}
+        for iname in ("formal", "lsodasph"):
+            cfg = GrtransConfig(iname=iname, **base)
+            ivals, _, _ = grtrans_run(cfg)
+            images[iname] = ivals
+        got = images["lsodasph"]
+        ref = images["formal"]
+        assert np.isfinite(got).all()
+        assert got[..., 0].max() > 0
+        rel = np.sum(np.abs(got[..., 0] - ref[..., 0])) \
+            / np.sum(np.abs(ref[..., 0]))
+        assert rel < 0.01, rel
 
 
 class TestHotspot:

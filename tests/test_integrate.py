@@ -100,6 +100,52 @@ class TestClosedForms:
         assert abs(If - Iq) < 5e-3 * If
 
 
+class TestDegenerateEigensystem:
+    """Cells where the matricant eigen-decomposition is defective
+    (a2 = p2, a.rho = 0 -> all four eigenvalues of K_pol vanish, K_pol
+    nilpotent).  The fallback must retain the cell's polarization
+    structure (round-3 verdict: the old scalar-attenuation fallback
+    silently discarded it) — exp(-K dx) is exactly the cubic
+    e^{-aI dx} (I - Z + Z^2/2 - Z^3/6)."""
+
+    def _K(self, aI, aQ, rU):
+        K = np.zeros((4, 4))
+        a = [aI, aQ, 0.0, 0.0]
+        rho = [0.0, rU, 0.0]
+        K[0] = [a[0], a[1], a[2], a[3]]
+        K[1] = [a[1], a[0], rho[2], -rho[1]]
+        K[2] = [a[2], -rho[2], a[0], rho[0]]
+        K[3] = [a[3], rho[1], -rho[0], a[0]]
+        return K
+
+    def test_exact_degenerate_matches_expm(self):
+        from scipy.linalg import expm
+        aI, aQ, rU, dx = 1.0, 0.8, 0.8, 3.0
+        a = tuple(jnp.full((1,), v) for v in (aI, aQ, 0.0, 0.0))
+        rho = tuple(jnp.full((1,), v) for v in (0.0, rU, 0.0))
+        O = np.asarray(solvers._calc_O(a, rho, jnp.full((1,), dx)))[..., 0]
+        expect = expm(-self._K(aI, aQ, rU) * dx)
+        # the old first-order degen branch errs at O(|Z|^2/2) ~ 2.9 here;
+        # the nilpotent cubic is exact
+        np.testing.assert_allclose(O, expect, rtol=0, atol=1e-12)
+        # polarization structure present (scalar fallback would zero it)
+        assert np.abs(O - np.diag(np.diag(O))).max() > 0.1
+
+    def test_near_degenerate_accuracy_and_passivity(self):
+        from scipy.linalg import expm
+        aI, aQ, dx = 1.0, 0.8, 3.0
+        for det in (0.0, 1e-10, 1e-7, 1e-5, 1e-3, 1e-1):
+            rU = 0.8 + det
+            a = tuple(jnp.full((1,), v) for v in (aI, aQ, 0.0, 0.0))
+            rho = tuple(jnp.full((1,), v) for v in (0.0, rU, 0.0))
+            O = np.asarray(solvers._calc_O(a, rho,
+                                           jnp.full((1,), dx)))[..., 0]
+            expect = expm(-self._K(aI, aQ, rU) * dx)
+            np.testing.assert_allclose(O, expect, rtol=0, atol=2e-6,
+                                       err_msg=f"detuning {det}")
+            assert np.abs(O).max() <= 1.0 + 1e-6
+
+
 class TestCrossMethod:
     def test_methods_agree_random_smooth(self):
         # smooth random coefficient profiles: all methods within 1%
