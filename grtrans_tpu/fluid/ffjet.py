@@ -67,6 +67,15 @@ class FFJet:
     dfile: str = DEFAULT_FILE
     ntscl: float = 2.0    # nonthermal density scale (sp nfac)
     nrscl: float = 70.0   # field scale (sp bfac)
+    # ablation flag (docs/FFJET_GOLDEN_ANALYSIS.md): replicate the
+    # reference's EXACT sampling conventions (ffjet_vals,
+    # fluid_model_ffjet.f90:83-135) instead of the default arithmetic
+    # ones: cell indices int()+1 with lx2 clipped to [1, nx-1] and lx1
+    # unclipped (here clipped to addressable memory), fractional
+    # weights from the dump's own f32 grid values (not the uniform-grid
+    # reconstruction), both UNclipped, and the reference's outside-grid
+    # fills (p = 1, vtl = 1, all b components = 1; :122-135)
+    ref_conventions: bool = False
 
     FIELDS = ("rho", "vr", "vth", "vph", "u0", "b0", "br", "bth", "bph")
 
@@ -77,6 +86,9 @@ class FFJet:
         self.uniqr = jnp.asarray(grids["uniqr"])
         self.uniqth = jnp.asarray(grids["uniqth"])
         self.uniqx1 = jnp.log(self.uniqr)
+        # raw f32 dump grids for the ref_conventions ablation path
+        self.uniqr_raw = jnp.asarray(grids["uniqr"].astype(np.float32))
+        self.uniqth_raw = jnp.asarray(grids["uniqth"].astype(np.float32))
         # ALL fields stacked minor-most, flattened over (th, r): the
         # bilinear sample is then 4 gathers of contiguous 9-vectors
         # instead of 36 scalar gathers — measured 10x faster on TPU
@@ -107,19 +119,45 @@ class FFJet:
         dt = r.dtype       # grid scalars follow the query dtype (mixed)
         u1a, u1b = self.uniqx1[0].astype(dt), self.uniqx1[-1].astype(dt)
         u2a, u2b = self.uniqth[0].astype(dt), self.uniqth[-1].astype(dt)
-        lx1 = jnp.clip(((x1 - u1a) / (u1b - u1a) * (nx - 1)).astype(jnp.int32),
-                       0, nx - 2)
-        lx2 = jnp.clip(((x2 - u2a) / (u2b - u2a) * (nx - 1)).astype(jnp.int32),
-                       0, nx - 2)
-        # the file grids are exactly log-r / theta uniform (to the f32
-        # roundoff of the dump), so the cell edges are computed
-        # arithmetically instead of via four more 1M-point gathers
-        d1 = (u1b - u1a) / (nx - 1)
-        d2 = (u2b - u2a) / (nx - 1)
-        r0 = jnp.exp(u1a + lx1 * d1)
-        rd = (r - r0) / (r0 * jnp.expm1(d1))
-        td = (x2 - (u2a + lx2 * d2)) / d2
-        inside = x1 > u1a
+        if self.ref_conventions:
+            # reference index semantics (fluid_model_ffjet.f90:83-98):
+            # int() truncation (+1 in 1-based Fortran), lx2 clipped to
+            # [1, nx-1], lx1 left unclipped by the reference (Fortran
+            # reads whatever memory follows; here clipped to the
+            # addressable table), weights from the dump's own f32 grid
+            # values, UNclipped (extrapolation beyond edge cells)
+            u1a32 = self.uniqr_raw[0]
+            u1b32 = self.uniqr_raw[-1]
+            u2a32 = self.uniqth_raw[0]
+            u2b32 = self.uniqth_raw[-1]
+            lx1 = ((x1 - jnp.log(u1a32)) / (jnp.log(u1b32)
+                                            - jnp.log(u1a32))
+                   * (nx - 1)).astype(jnp.int32)
+            lx1 = jnp.clip(lx1, 0, nx - 2)
+            lx2 = ((x2 - u2a32) / (u2b32 - u2a32)
+                   * (nx - 1)).astype(jnp.int32)
+            lx2 = jnp.clip(lx2, 0, nx - 2)
+            rg0 = self.uniqr_raw[lx1].astype(dt)
+            rg1 = self.uniqr_raw[lx1 + 1].astype(dt)
+            tg0 = self.uniqth_raw[lx2].astype(dt)
+            tg1 = self.uniqth_raw[lx2 + 1].astype(dt)
+            rd = (r - rg0) / (rg1 - rg0)
+            td = (x2 - tg0) / (tg1 - tg0)
+            inside = x1 > jnp.log(u1a32)
+        else:
+            lx1 = jnp.clip(((x1 - u1a) / (u1b - u1a)
+                            * (nx - 1)).astype(jnp.int32), 0, nx - 2)
+            lx2 = jnp.clip(((x2 - u2a) / (u2b - u2a)
+                            * (nx - 1)).astype(jnp.int32), 0, nx - 2)
+            # the file grids are exactly log-r / theta uniform (to the
+            # f32 roundoff of the dump), so the cell edges are computed
+            # arithmetically instead of via four more 1M-point gathers
+            d1 = (u1b - u1a) / (nx - 1)
+            d2 = (u2b - u2a) / (nx - 1)
+            r0 = jnp.exp(u1a + lx1 * d1)
+            rd = (r - r0) / (r0 * jnp.expm1(d1))
+            td = (x2 - (u2a + lx2 * d2)) / d2
+            inside = x1 > u1a
 
         # ONE corner-packed gather of all 9 fields x 4 corners
         # (see __post_init__), then the bilinear combine on registers
@@ -129,8 +167,15 @@ class FFJet:
         w = jnp.stack([(1 - rd) * (1 - td), rd * (1 - td),
                        (1 - rd) * td, rd * td], axis=-1)
         vals = jnp.sum(q * w[..., None], axis=-2)
-        fill = jnp.asarray([0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0],
-                           dtype=vals.dtype)
+        if self.ref_conventions:
+            # FIELDS order (rho, vr, vth, vph, u0, b0, br, bth, bph);
+            # reference fills: rho=0, vrl=0, vtl=1 (!), vpl=0, u0=1,
+            # b=(1,1,1,1) (fluid_model_ffjet.f90:122-135)
+            fill = jnp.asarray([0.0, 0.0, 1.0, 0.0, 1.0,
+                                1.0, 1.0, 1.0, 1.0], dtype=vals.dtype)
+        else:
+            fill = jnp.asarray([0.0, 0.0, 0.0, 0.0, 1.0,
+                                1.0, 1.0, 1.0, 1.0], dtype=vals.dtype)
         vals = jnp.where(inside[..., None], vals, fill)
         (rho, vrl, vtl, vpl, u0, b0, br, bth, bph) = (
             vals[..., i] for i in range(9))

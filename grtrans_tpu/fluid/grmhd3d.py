@@ -105,6 +105,17 @@ class Grmhd3D:
         key = (nt, tuple(names), str(dtype))
         if getattr(self, "_fstack_key", None) == key:
             return self._fstack, names
+        import jax
+        # the stack is built lazily on first sample — often INSIDE a jit
+        # trace, where ops on concrete arrays still produce tracers;
+        # caching a tracer leaks it into later traces
+        # (UnexpectedTracerError on any retrace).  Force eager
+        # evaluation: the inputs are concrete snapshot buffers.
+        with jax.ensure_compile_time_eval():
+            return self._build_fstack(key, names, nt, dtype)
+
+    def _build_fstack(self, key, names, nt, dtype):
+        extra = getattr(self, "extra3", {})
         arrs = []
         for n in names:
             g = self.f[n] if n in self.f else extra[n]
@@ -123,7 +134,11 @@ class Grmhd3D:
         self._fstack_key = key
         return stp, names
 
-    def vals(self, x, k, a, time=0.0):
+    def _query(self, x, a, time=0.0):
+        """Per-sample interpolation geometry: grid indices, corner
+        weights, time blend, innermost-zone damping — everything except
+        the field-stack gather (which is the only part that touches the
+        sharded snapshot in the spatially-sharded path)."""
         nx1 = int(self.uniqx1.shape[0])
         nx2 = int(self.uniqx2.shape[0])
         nx3 = int(self.uniqx3.shape[0])
@@ -145,7 +160,6 @@ class Grmhd3D:
         dph = (u3b - u3a) / jnp.maximum(nx3 - 1, 1)
         lx3raw = jnp.floor((x3 - u3a) / dph).astype(jnp.int32)
         lx3 = jnp.mod(lx3raw, nx3)
-        ux3 = jnp.mod(lx3raw + 1, nx3)
         minph = u3a + lx3raw * dph          # unwrapped cell-left phi
 
         # fractional distances in physical coordinates (:189-207)
@@ -186,21 +200,32 @@ class Grmhd3D:
             tind = jnp.zeros(r.shape, int)
             ttd = jnp.zeros_like(r)
 
-        # ALL fields in a phi-pair-packed trilinear gather: 4 corner
-        # gathers of contiguous 2*nf-vectors (8 with the time blend)
-        G, names = self._stacked_fields(r.dtype)
-        NS = G.shape[1]
-        nf = len(names)
-        Gf = G.reshape(-1, G.shape[-1])          # (nt*NS, 2*nf)
-        base_lo = (lx1 * nx2 + lx2) * nx3
-        base_hi = (lx1 * nx2 + lx2 + 1) * nx3
-        base1_lo = ((lx1 + 1) * nx2 + lx2) * nx3
-        base1_hi = ((lx1 + 1) * nx2 + lx2 + 1) * nx3
         dt_ = r.dtype
-        pdc = pd.astype(dt_)
-        ws = [w.astype(dt_) for w in
-              ((1 - rd) * (1 - td), (1 - rd) * td,
-               rd * (1 - td), rd * td)]
+        ws = tuple(w.astype(dt_) for w in
+                   ((1 - rd) * (1 - td), (1 - rd) * td,
+                    rd * (1 - td), rd * td))
+        return dict(r=r, th=th, lx1=lx1, lx2=lx2, lx3=lx3, ws=ws,
+                    pdc=pd.astype(dt_), tind=tind,
+                    ttd=ttd.astype(dt_), damp=damp.astype(dt_),
+                    outside=outside)
+
+    def _gather_cols(self, Gf, NS, nx2_eff, nx3, q, nf, lx2=None,
+                     wmask=None):
+        """Phi-pair-packed trilinear gather of all fields: 4 corner
+        gathers of contiguous 2*nf-vectors (8 with the time blend).
+        Gf: (nt*NS, 2*nf) flattened stack with NS = nx1*nx2_eff*nx3;
+        lx2 overrides q['lx2'] (slab-local index in the sharded path);
+        wmask zeroes non-owned queries' weights (double-where: their
+        clamped indices gather arbitrary rows)."""
+        lx2 = q["lx2"] if lx2 is None else lx2
+        lx1, lx3, pdc = q["lx1"], q["lx3"], q["pdc"]
+        ws = q["ws"]
+        if wmask is not None:
+            ws = tuple(jnp.where(wmask, w, 0.0) for w in ws)
+        base_lo = (lx1 * nx2_eff + lx2) * nx3
+        base_hi = (lx1 * nx2_eff + lx2 + 1) * nx3
+        base1_lo = ((lx1 + 1) * nx2_eff + lx2) * nx3
+        base1_hi = ((lx1 + 1) * nx2_eff + lx2 + 1) * nx3
         idxs = (base_lo + lx3, base_hi + lx3, base1_lo + lx3,
                 base1_hi + lx3)
 
@@ -208,21 +233,52 @@ class Grmhd3D:
             off = t * NS
             out = None
             for w, i in zip(ws, idxs):
-                q = Gf[off + i]
-                v = (q[..., :nf] * (1 - pdc)[..., None]
-                     + q[..., nf:] * pdc[..., None]) * w[..., None]
+                qv = Gf[off + i]
+                v = (qv[..., :nf] * (1 - pdc)[..., None]
+                     + qv[..., nf:] * pdc[..., None]) * w[..., None]
                 out = v if out is None else out + v
             return out
 
         if self.nt_slices > 1:
-            ttd = ttd.astype(dt_)
-            vals = at(tind) * (1 - ttd)[..., None] \
-                + at(tind + 1) * ttd[..., None]
+            ttd = q["ttd"]
+            vals = at(q["tind"]) * (1 - ttd)[..., None] \
+                + at(q["tind"] + 1) * ttd[..., None]
         else:
-            vals = at(jnp.zeros(r.shape, jnp.int32))
-        col = {n: vals[..., i] for i, n in enumerate(names)}
+            vals = at(jnp.zeros(lx1.shape, jnp.int32))
+        return vals
 
-        damp = damp.astype(dt_)
+    def stacked_names(self):
+        """Field-column order of the packed stack (gather layout)."""
+        return list(FIELDS) + sorted(getattr(self, "extra3", {}).keys())
+
+    def stacked_grid(self, dtype):
+        """The phi-pair-packed field stack in GRID shape
+        (nt, nx1, nx2, nx3, 2*nf) — the array to theta-shard over a
+        device mesh via parallel.sharding.snapshot_shard_spec(axis=2)
+        for dumps too large to replicate per chip."""
+        G, names = self._stacked_fields(dtype)
+        nx1 = int(self.uniqx1.shape[0])
+        nx2 = int(self.uniqx2.shape[0])
+        nx3 = int(self.uniqx3.shape[0])
+        return G.reshape(self.nt_slices, nx1, nx2, nx3, G.shape[-1]), names
+
+    def vals(self, x, k, a, time=0.0):
+        nx2 = int(self.uniqx2.shape[0])
+        nx3 = int(self.uniqx3.shape[0])
+        q = self._query(x, a, time=time)
+        G, names = self._stacked_fields(q["r"].dtype)
+        NS = G.shape[1]
+        nf = len(names)
+        Gf = G.reshape(-1, G.shape[-1])          # (nt*NS, 2*nf)
+        vals = self._gather_cols(Gf, NS, nx2, nx3, q, nf)
+        return self._assemble(vals, names, q, x, a)
+
+    def _assemble(self, vals, names, q, x, a):
+        """Columns + query geometry -> FluidVars (LNRF -> BL
+        reconstruction, innermost-zone damping, outside-grid defaults)."""
+        r, th = q["r"], q["th"]
+        damp, outside = q["damp"], q["outside"]
+        col = {n: vals[..., i] for i, n in enumerate(names)}
         rho = col["rho"] * damp
         p = col["p"] * damp
         u0 = jnp.where(outside, 1.0, col["u0"])
@@ -250,3 +306,67 @@ class Grmhd3D:
         self._last_extra = extra     # bins etc. for subclasses
         return FluidVars(rho=rho, p=p, bmag=bmag, u=u, b=b, rho2=rho,
                          kela=kela)
+
+
+def sample_sharded(model, x, a, grid_block, axis_name="pix", time=0.0):
+    """Spatially-sharded snapshot sampling — call INSIDE shard_map.
+
+    TPU-native answer to the reference's shared-memory snapshot
+    (README:233-235 "all fluid model data ... shared between threads"):
+    when a dump exceeds one chip's HBM, the packed field stack
+    (model.stacked_grid) shards over the mesh along THETA (axis 2,
+    parallel.sharding.snapshot_shard_spec) while pixels shard as usual.
+    Each device then:
+
+      1. receives its one-row theta halo from the next shard
+         (halo_exchange_theta ppermute) so every trilinear (lx2, lx2+1)
+         pair is complete on exactly ONE device;
+      2. all_gathers the (small) query coordinates so it can serve
+         every ray's samples that land in its slab;
+      3. gathers/weights ONLY the queries it owns (owner-computes:
+         slab_start <= lx2 < slab_start + B; weights zeroed elsewhere),
+      4. psums the disjoint contributions — numerically exact (each
+         query is summed on one device, zeros elsewhere), so the
+         sharded render equals the replicated render bit-for-bit up to
+         psum ordering of exact zeros (tests/test_sharding.py);
+      5. assembles FluidVars for its OWN pixel block only.
+
+    Communication: one row of halo + all_gather(query coords) +
+    psum(field columns) — all O(npix*npts), independent of dump size.
+
+    Args: x — device-local pixel block of sample coordinates
+    (npix_local, npts, 4); grid_block — device-local theta-slab
+    (nt, nx1, B, nx3, 2*nf) of model.stacked_grid (nx2 must divide the
+    mesh size; pad theta if not).  Returns FluidVars for the local
+    pixel block."""
+    import jax
+    from grtrans_tpu.parallel.sharding import halo_exchange_theta
+
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    B = grid_block.shape[2]
+    nx1 = grid_block.shape[1]
+    nx3 = grid_block.shape[3]
+    start = idx * B
+
+    _, hi = halo_exchange_theta(grid_block, axis_name, axis=2)
+    ext = jnp.concatenate([grid_block, hi[:, :, None]], axis=2)
+
+    names = model.stacked_names()
+    nf = len(names)
+    NS = nx1 * (B + 1) * nx3
+    Gf = ext.reshape(-1, ext.shape[-1])
+
+    xg = jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+    q = model._query(xg, a, time=time)
+    own = (q["lx2"] >= start) & (q["lx2"] < start + B)
+    llx2 = jnp.clip(q["lx2"] - start, 0, B - 1)
+    vals = model._gather_cols(Gf, NS, B + 1, nx3, q, nf,
+                              lx2=llx2, wmask=own)
+    vals = jax.lax.psum(vals, axis_name)
+
+    npix_local = x.shape[0]
+    vals_loc = jax.lax.dynamic_slice_in_dim(vals, idx * npix_local,
+                                            npix_local, axis=0)
+    q_loc = model._query(x, a, time=time)
+    return model._assemble(vals_loc, names, q_loc, x, a)

@@ -295,9 +295,18 @@ def _phase_integrands_radial(a, l, u):
 
 
 def _phase_integrands_polar(a, l, mu):
-    """Polar parts of the phase integrands as functions of mu."""
+    """Polar parts of the phase integrands as functions of mu.
+
+    The 1 - mu^2 floor is DTYPE-AWARE: in f32 a near-pole mu rounds to
+    exactly 1 and the old absolute 1e-37 floor turned dphi/dlam into
+    l * 1e37 (overflow).  Flooring at ~3 eps caps the integrand at its
+    value one roundoff step from the pole; only rays that graze the
+    pole within f32 resolution (|l| <~ 1e-4 in camera units — measure
+    zero on a real camera) lose phi accuracy, and exact pole-crossers
+    have l = 0 so their dph_m is 0 either way."""
     dt_m = a * (l - a * (1.0 - mu * mu))
-    one_m = jnp.maximum(1.0 - mu * mu, 1e-37)
+    eps3 = 3.0 * float(jnp.finfo(jnp.result_type(mu)).eps)
+    one_m = jnp.maximum(1.0 - mu * mu, eps3)
     dph_m = -a + l / one_m
     daff_m = a * a * mu * mu
     return dt_m, dph_m, daff_m
@@ -339,7 +348,7 @@ def _cumulative_phases(st, a, l, lam_grid, u_grid=None, node_interp=False,
     dominant cost of the whole geodesic stage) with fused arithmetic.
     Callers with sparse grids (trace_polar npts=1, camera_delay) keep
     exact node evaluation."""
-    x, w = (jnp.asarray(v) for v in gl_nodes(NQ_SEG))
+    x, w = (jnp.asarray(v, lam_grid.dtype) for v in gl_nodes(NQ_SEG))
     a_ = lam_grid[..., :-1]
     b_ = lam_grid[..., 1:]
     dseg = b_ - a_
@@ -409,8 +418,14 @@ def _cumulative_phases(st, a, l, lam_grid, u_grid=None, node_interp=False,
     seg_p = seg_p + jnp.where(near_turn, lam_p, r_p)
     seg_a = seg_a + jnp.where(near_turn, lam_a, r_a)
 
-    z = jnp.zeros_like(lam_grid[..., :1])
-    cum = lambda s: jnp.concatenate([z, jnp.cumsum(s, axis=-1)], axis=-1)
+    # accumulate in f64 regardless of working precision: the cumulative
+    # phases reach 1e2-1e4 while per-cell DIFFERENCES downstream (dlam
+    # in the Stokes solver, Faraday phase) need absolute accuracy — f32
+    # increments + f64 running sums keep the error at the per-segment
+    # f32 level instead of growing with trace length
+    z = jnp.zeros_like(lam_grid[..., :1], dtype=jnp.float64)
+    cum = lambda s: jnp.concatenate(
+        [z, jnp.cumsum(s.astype(jnp.float64), axis=-1)], axis=-1)
     return cum(seg_t), cum(seg_p), cum(seg_a)
 
 
@@ -426,15 +441,25 @@ def _signs_and_counts(st, lam):
     return su, smu, tpr, tpm
 
 
-@partial(jax.jit, static_argnames=("npts", "node_interp"))
+@partial(jax.jit, static_argnames=("npts", "node_interp", "prec"))
 def trace(a, mu0, alpha, beta, l, q2, sm, u0, npts, uout=None, phi0=0.0,
-          node_interp=True):
+          node_interp=True, prec="f64"):
     """Trace rays from the camera: npts samples, even in Mino time, from
     u=uout (default: the observer u0) to the horizon or back out to uout
     after a radial turning point (reference standard=1 mode).
 
     All of (alpha, beta, l, q2, sm) are (npix,); returns a GeodesicBundle.
-    """
+
+    prec='mixed': the per-(pixel, point) hot math — Weierstrass
+    inversions, Hermite nodes, phase integrands — runs in f32 (v5e has
+    no native f64; emulation costs 5-10x), while everything whose error
+    would otherwise ACCUMULATE stays f64: the per-pixel setup (root
+    finding, turning-point landmarks, lam grid) and the cumulative
+    phase/affine sums (f32 segment increments summed in f64).  The
+    affine parameter is returned in f64 either way so the Stokes
+    solver's f64-reduced Faraday-phase path stays engaged.  Measured
+    point errors vs f64: |dr|/r, |dtheta|, |dphi| ~ 1e-5
+    (tests/test_precision.py), against 1e-2 regression bars."""
     st, uf = _setup(a, mu0, l, q2, sm, u0)
 
     lam_start = jnp.zeros_like(l)
@@ -449,25 +474,51 @@ def trace(a, mu0, alpha, beta, l, q2, sm, u0, npts, uout=None, phi0=0.0,
     frac = jnp.linspace(0.0, 1.0, npts)
     lam = lam_start[:, None] + (lam_end - lam_start)[:, None] * frac[None, :]
 
-    u = _eval_u(st, lam)
-    mu = _eval_mu(st, lam)
-    mu = jnp.clip(mu, -1.0, 1.0)
-    su, smu, tpr, tpm = _signs_and_counts(st, lam)
+    # the Weierstrass inversions stay f64 in BOTH precisions: the wp
+    # argument-doubling map amplifies roundoff ~4x per doubling
+    # (measured p99 error 1e-2 in f32 — unusable), and its cost is
+    # already bounded by MAX_DOUBLINGS=20.  Everything downstream of
+    # (u, mu) is point-local algebra that f32 handles at ~1e-5.
+    u64 = _eval_u(st, lam)
+    mu64 = jnp.clip(_eval_mu(st, lam), -1.0, 1.0)
 
-    dt_c, dph_c, aff_c = _cumulative_phases(st, a, l, lam, u_grid=u,
+    if prec == "mixed":
+        f32 = jnp.float32
+        stq = jax.tree_util.tree_map(
+            lambda v: v.astype(f32)
+            if jnp.issubdtype(v.dtype, jnp.floating) else v, st)
+        lamq = lam.astype(f32)
+        lq = l.astype(f32)
+        u = u64.astype(f32)
+        mu = mu64.astype(f32)
+    else:
+        stq, lamq, lq = st, lam, l
+        u, mu = u64, mu64
+    su, smu, tpr, tpm = _signs_and_counts(stq, lamq)
+
+    dt_c, dph_c, aff_c = _cumulative_phases(stq, a, lq, lamq, u_grid=u,
                                             node_interp=node_interp,
                                             mu_grid=mu)
 
     r = 1.0 / jnp.maximum(u, 1e-12)
     th = jnp.arccos(mu)
-    t = -dt_c
-    phi = jnp.pi * phi0 - dph_c
+    t = -dt_c.astype(u.dtype)
+    phi = jnp.pi * phi0 - dph_c.astype(u.dtype)
     # pole-on viewing: rotate by the pixel azimuth (geodesics.f90:339-341)
     phi = phi + jnp.where(jnp.abs(mu0) == 1.0,
                           jnp.sign(mu0) * jnp.arctan2(beta, alpha),
-                          0.0)[:, None]
+                          0.0)[:, None].astype(u.dtype)
 
-    k = kerr.calc_nullp(_bc(q2, u.ndim), _bc(l, u.ndim), a, r, mu, su, smu)
+    # the wavevector is built from the f64 (u, mu) even under mixed:
+    # k_r = sqrt(R(r)) and k_th = sqrt(M(mu)) cancel catastrophically
+    # near turning points in f32 (measured O(3e-4) component errors on
+    # turning-point-adjacent samples); one pass of per-point f64
+    # algebra is cheap next to the Weierstrass stage, and the result is
+    # cast for downstream consumers
+    r64 = 1.0 / jnp.maximum(u64, 1e-12)
+    k = kerr.calc_nullp(_bc(q2, u64.ndim), _bc(l, u64.ndim), a, r64,
+                        mu64, su.astype(u64.dtype),
+                        smu.astype(u64.dtype)).astype(u.dtype)
 
     x = jnp.stack([t, r, th, phi], axis=-1)
     valid = (u > 0.0) & (u < uf * (1 + 10 * HOR_EPS)) & jnp.isfinite(u)

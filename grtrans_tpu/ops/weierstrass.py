@@ -22,7 +22,12 @@ import jax.numpy as jnp
 
 # number of Laurent coefficients c_k (k = 2..K_SERIES+1)
 K_SERIES = 16
-MAX_DOUBLINGS = 48
+# argument-doubling bound: n = ceil(log2(|z| * invariant_scale / 0.25));
+# geodesic use keeps |z| within a few real periods, i.e. |z|*t <~ 1e2 ->
+# n <= 9; 20 leaves a 2^11 margin while costing 2.4x less than the old
+# 48-iteration loop (the doubling loop is the hot inner loop of every
+# geodesic point on TPU)
+MAX_DOUBLINGS = 20
 
 
 def quartic_invariants(A, B, C, D, E):
@@ -54,10 +59,16 @@ def wp(z, g2, g3):
     Algorithm: per-element pick n with |z/2^n| small relative to the
     invariant scale, evaluate the Laurent series there, then apply the
     (wp, wp') duplication map n times (masked static loop).  Accurate to
-    ~1e-13 relative for z within a few real periods of the origin."""
-    z = jnp.asarray(z, jnp.float64)
-    g2 = jnp.asarray(g2, jnp.float64)
-    g3 = jnp.asarray(g3, jnp.float64)
+    ~1e-13 relative for z within a few real periods of the origin.
+
+    Dtype-polymorphic: runs in the common dtype of (z, g2, g3) — f64
+    callers are unchanged; the mixed-precision geodesic path feeds f32
+    throughout (v5e emulates every f64 op as double-float, ~5-10x the
+    f32 cost, and this function dominates the geodesic stage)."""
+    dt = jnp.result_type(jnp.asarray(z), jnp.asarray(g2), jnp.asarray(g3))
+    z = jnp.asarray(z, dt)
+    g2 = jnp.asarray(g2, dt)
+    g3 = jnp.asarray(g3, dt)
     # Do NOT jnp.broadcast_arrays the invariants up to z's shape: the
     # explicit degenerate-dim broadcast HLOs that produces ((npix,1) ->
     # (npix,npts)) send XLA's algebraic simplifier into a circular
@@ -77,7 +88,7 @@ def wp(z, g2, g3):
     target = 0.25 / jnp.maximum(t, 1e-37)
     n = jnp.ceil(jnp.log2(jnp.maximum(jnp.abs(z) / target, 1.0)))
     n = jnp.clip(n, 0, MAX_DOUBLINGS).astype(jnp.int32)
-    zs = z / (2.0 ** n.astype(jnp.float64))
+    zs = z / (2.0 ** n.astype(dt))
 
     cs = _series_coeffs(g2, g3)
     z2 = zs * zs

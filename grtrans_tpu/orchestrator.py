@@ -159,8 +159,12 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
             return geokerr.trace_polar(a, mu0_v, alpha, beta, l, q2, sm,
                                        u0_v, npts=1, phi0=cfg.phi0)
         uout = cfg.uout if _use_uout else None
+        # prec='mixed' extends to the geodesic stage: f32 point-local
+        # math, f64 landmarks + accumulations (geokerr.trace docstring)
         return geokerr.trace(a, mu0_v, alpha, beta, l, q2, sm, u0_v,
-                             nup, uout=uout, phi0=cfg.phi0)
+                             nup, uout=uout, phi0=cfg.phi0,
+                             prec=("mixed" if cfg.prec == "mixed"
+                                   else "f64"))
 
     def _render_from_geo(geo, alpha, beta, mu0_v, tcur, t0sh, mdot):
         # mdot is a TRACED scalar: an nmdot>1 SED scan (or a pgriter fit)

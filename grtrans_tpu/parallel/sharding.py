@@ -83,20 +83,24 @@ def snapshot_shard_spec(mesh, ndim, axis=2):
     return NamedSharding(mesh, P(*spec))
 
 
-def halo_exchange_theta(grid, axis_name="pix"):
-    """One-cell halo exchange along the sharded theta axis (axis 0 of
+def halo_exchange_theta(grid, axis_name="pix", axis=0):
+    """One-cell halo exchange along the sharded theta axis (`axis` of
     the PER-DEVICE block): returns (lo_ghost, hi_ghost) rows received
     from the neighboring shards via ppermute.  For use inside
-    shard_map-ped samplers when snapshots are spatially sharded.
-    Edge shards receive their own boundary row (clamped halo)."""
+    shard_map-ped samplers when snapshots are spatially sharded
+    (grmhd3d.sample_sharded).  Edge shards receive their own boundary
+    row (clamped halo)."""
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     fwd = [(i, (i + 1) % n) for i in range(n)]
     bwd = [((i + 1) % n, i) for i in range(n)]
-    from_prev = jax.lax.ppermute(grid[-1], axis_name, fwd)   # prev's last
-    from_next = jax.lax.ppermute(grid[0], axis_name, bwd)    # next's first
-    lo = jnp.where(idx == 0, grid[0], from_prev)
-    hi = jnp.where(idx == n - 1, grid[-1], from_next)
+    first = jax.lax.index_in_dim(grid, 0, axis, keepdims=False)
+    last = jax.lax.index_in_dim(grid, grid.shape[axis] - 1, axis,
+                                keepdims=False)
+    from_prev = jax.lax.ppermute(last, axis_name, fwd)    # prev's last
+    from_next = jax.lax.ppermute(first, axis_name, bwd)   # next's first
+    lo = jnp.where(idx == 0, first, from_prev)
+    hi = jnp.where(idx == n - 1, last, from_next)
     return lo, hi
 
 

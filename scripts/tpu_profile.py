@@ -1,7 +1,15 @@
-"""Per-stage TPU timing of the flagship FFJET render: geodesics vs
-fluid vs tetrad vs coefficients vs Stokes solver, in BOTH the f64 and
-the mixed-precision (f32 + f64-reduced phases) paths, plus XLA
-cost-analysis FLOP counts.  Writes artifacts/PROFILE_r03.json.
+"""Per-stage TPU timing of the flagship FFJET render.
+
+Two views, both written to artifacts/PROFILE_r04.json:
+
+  * `stages_ms` / `stages_ms_mixed` — STANDALONE stage timings (each
+    stage jitted alone; includes HBM materialization of its inputs and
+    outputs, so the numbers over-state fused cost but expose per-stage
+    scaling).
+  * `fused_ms` — CUMULATIVE-VARIANT timings of the real fused program:
+    trace-only, trace+fluid, +tetrad, +coefficients, full.  Differences
+    between consecutive variants attribute wall-clock WITHIN the fused
+    frame — the honest budget the bench number is made of.
 
 Run alone on the chip (one process owns the TPU):
     python scripts/tpu_profile.py
@@ -73,20 +81,21 @@ def main():
     print(f"platform={jax.devices()[0].platform} npix={npix} npts={npts}")
     result = {"npix": npix, "npts": npts,
               "device": str(jax.devices()[0]),
-              "stages_ms": {}, "stages_ms_mixed": {}}
+              "stages_ms": {}, "stages_ms_mixed": {}, "fused_ms": {}}
+    cargs = (cam.alpha, cam.beta, cam.l, cam.q2, cam.sm)
 
-    trace = jax.jit(lambda al, be, l, q2, sm: geokerr.trace(
-        a, mu0, al, be, l, q2, sm, cam.u0, npts, uout=0.01))
-    t = timeit(trace, cam.alpha, cam.beta, cam.l, cam.q2, cam.sm)
-    result["stages_ms"]["geodesics"] = round(t * 1e3, 1)
-    print(f"geodesics: {t*1e3:9.1f} ms")
-    geo = trace(cam.alpha, cam.beta, cam.l, cam.q2, cam.sm)
-
-    f32 = jnp.float32
+    # ---------------- standalone stages (legacy view) ----------------
     for prec in ("f64", "mixed"):
         key = "stages_ms" if prec == "f64" else "stages_ms_mixed"
-        cast = (lambda x: x.astype(f32)) if prec == "mixed" else (lambda x: x)
+        trace = jax.jit(lambda al, be, l, q2, sm, _p=prec: geokerr.trace(
+            a, mu0, al, be, l, q2, sm, cam.u0, npts, uout=0.01, prec=_p))
+        t = timeit(trace, *cargs)
+        result[key]["geodesics"] = round(t * 1e3, 1)
+        print(f"geodesics({prec}): {t*1e3:9.1f} ms")
+        geo = trace(*cargs)
 
+        f32 = jnp.float32
+        cast = (lambda x: x.astype(f32)) if prec == "mixed" else (lambda x: x)
         fluid = jax.jit(lambda x, k: model.vals(x, k, a))
         xq, kq = cast(geo.x), cast(geo.k)
         t = timeit(fluid, xq, kq)
@@ -116,52 +125,56 @@ def main():
 
         j = e[..., :4]
         K = e[..., 4:]
-        lam = geo.lam
         solve = jax.jit(lambda lam, j, K: solvers.formal_solve(lam, j, K))
-        t = timeit(solve, lam, j, K)
+        t = timeit(solve, geo.lam, j, K)
         result[key]["solver"] = round(t * 1e3, 1)
         print(f"solver({prec}): {t*1e3:9.1f} ms")
 
-    # full jitted pipeline (trace + fluid + tetrad + coeffs + solve),
-    # both precisions, + XLA cost-analysis flops
-    for prec in ("f64", "mixed"):
-        key = "stages_ms" if prec == "f64" else "stages_ms_mixed"
+    # -------- cumulative variants of the REAL fused program ----------
+    def pipeline(al, be, l, q2, sm, upto, prec):
+        geo = geokerr.trace(a, mu0, al, be, l, q2, sm, cam.u0, npts,
+                            uout=0.01,
+                            prec="mixed" if prec == "mixed" else "f64")
+        if upto == "trace":
+            return geo.x.sum() + geo.k.sum() + geo.lam.sum()
+        if prec == "mixed":
+            xs, ks = geo.x.astype(jnp.float32), geo.k.astype(jnp.float32)
+        else:
+            xs, ks = geo.x, geo.k
+        fv = model.vals(xs, ks, a)
+        if upto == "fluid":
+            return (fv.rho.sum() + fv.bmag.sum() + fv.u.sum()
+                    + fv.b.sum() + geo.lam.sum())
+        ei = model.convert(fv, sp)
+        return driver.render_rays(geo, fv, ei, "POLSYNCHPL",
+                                  [3.45e11], mu0, al, be, a, 3.4e9,
+                                  sp, iname="formal", nvals=4,
+                                  prec=prec).sum()
 
-        def full_fn(al, be, l, q2, sm, _prec=prec):
-            geo = geokerr.trace(a, mu0, al, be, l, q2, sm, cam.u0, npts,
-                                uout=0.01)
-            if _prec == "mixed":
-                xs, ks = geo.x.astype(f32), geo.k.astype(f32)
-            else:
-                xs, ks = geo.x, geo.k
-            fv = model.vals(xs, ks, a)
-            ei = model.convert(fv, sp)
-            return driver.render_rays(geo, fv, ei, "POLSYNCHPL",
-                                      [3.45e11], mu0, al, be, a, 3.4e9,
-                                      sp, iname="formal", nvals=4,
-                                      prec=_prec)
-        full = jax.jit(full_fn)
-        cargs = (cam.alpha, cam.beta, cam.l, cam.q2, cam.sm)
-        t = timeit(full, *cargs)
-        result[key]["full"] = round(t * 1e3, 1)
-        fl = flops_of(full, *cargs)
-        if fl:
-            result["flops_per_frame_" + prec] = fl
-            result["flops_per_pixel" if prec == "mixed" else
-                   "flops_per_pixel_f64"] = fl / npix
-        print(f"full({prec}):   {t*1e3:9.1f} ms"
-              + (f"  flops/frame {fl:.3g}" if fl else ""))
+    for prec in ("mixed", "f64"):
+        for upto in ("trace", "fluid", "full"):
+            fn = jax.jit(lambda al, be, l, q2, sm, _u=upto, _p=prec:
+                         pipeline(al, be, l, q2, sm, _u, _p))
+            t = timeit(fn, *cargs)
+            result["fused_ms"][f"{prec}_{upto}"] = round(t * 1e3, 1)
+            print(f"fused {prec} upto={upto}: {t*1e3:9.1f} ms")
+            if upto == "full":
+                fl = flops_of(fn, *cargs)
+                if fl:
+                    result["flops_per_frame_" + prec] = fl
+                    result["flops_per_pixel" if prec == "mixed" else
+                           "flops_per_pixel_f64"] = fl / npix
 
     # v5e peak: 197 TFLOP/s bf16 (conventional MFU denominator); the
     # workload is VPU/elementwise-bound, so MFU vs MXU peak is the
     # honest headline of how far from "speed of light" this render is
     result["peak_flops"] = 197e12
     if "flops_per_frame_mixed" in result:
-        dt = result["stages_ms_mixed"]["full"] / 1e3
+        dt = result["fused_ms"]["mixed_full"] / 1e3
         result["mfu_mixed_vs_bf16_peak"] = (
             result["flops_per_frame_mixed"] / dt / result["peak_flops"])
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "artifacts", "PROFILE_r03.json")
+        os.path.abspath(__file__))), "artifacts", "PROFILE_r04.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(result, f, indent=1)

@@ -31,6 +31,37 @@ def test_mixed_matches_f64_sariaf():
     assert err < 2e-3, err
 
 
+def test_mixed_trace_matches_f64():
+    """prec='mixed' geodesics (f32 point-local math, f64 Weierstrass +
+    accumulations): coordinates, wavevector, and affine parameter must
+    track the f64 trace at the f32-roundoff level (r, k ~ 1e-7 rel;
+    theta ~ 1e-5), orders of magnitude inside the 1e-2 regression
+    bars.  phi is checked at its 99.9th percentile: isolated pixels
+    whose rays graze the pole within f32 resolution legitimately lose
+    phi accuracy (geokerr._phase_integrands_polar docstring)."""
+    from grtrans_tpu.geodesics import camera as cam_mod, geokerr
+    a, mu0 = 0.998, 0.906
+    cam = cam_mod.make_camera(a, mu0, -40.0, 20.0, -20.0, 40.0, 20, 20)
+    args = (cam.alpha, cam.beta, cam.l, cam.q2, cam.sm, cam.u0, 128)
+    g64 = geokerr.trace(a, mu0, *args, uout=0.01)
+    g32 = geokerr.trace(a, mu0, *args, uout=0.01, prec="mixed")
+    assert g32.lam.dtype == np.float64      # solver's f64 phase path
+    v = np.asarray(g64.valid & g32.valid)
+    x64, x32 = np.asarray(g64.x), np.asarray(g32.x)
+    assert np.abs((x32[..., 1] - x64[..., 1])
+                  / x64[..., 1])[v].max() < 1e-6
+    assert np.abs(x32[..., 2] - x64[..., 2])[v].max() < 1e-5
+    dphi = np.abs(x32[..., 3] - x64[..., 3])[v]
+    assert np.percentile(dphi, 99.9) < 1e-2
+    kmag = np.linalg.norm(np.asarray(g64.k), axis=-1, keepdims=True)
+    kd = np.abs(np.asarray(g32.k) - np.asarray(g64.k)) / kmag
+    assert kd[v].max() < 1e-6
+    assert np.abs(np.asarray(g32.lam - g64.lam))[v].max() \
+        < 1e-5 * np.abs(np.asarray(g64.lam)).max()
+    assert (np.asarray(g32.tpm) == np.asarray(g64.tpm))[v].all()
+    assert (np.asarray(g32.tpr) == np.asarray(g64.tpr))[v].all()
+
+
 def test_mixed_matches_f64_powerlaw_pl():
     kw = dict(fname="POWERLAW", ename="POLSYNCHPL", gmin=100.0, gmax=1e5,
               fargs=dict(n0=3e7, t0=6e10, beta=10.0, nnth0=8e4))
