@@ -37,6 +37,7 @@ from grtrans_tpu.geometry import kerr
 NQ_LAM = 48     # nodes for the one-off lam(u) integrals
 NQ_SEG = 8      # nodes per segment for cumulative t/phi/affine integrals
 HOR_EPS = 1e-6  # stop this far (in u) inside of the horizon u_+
+_TINY_U = 1e-37  # absolute backstop under the relative U floor
 
 
 class GeodesicBundle(NamedTuple):
@@ -394,16 +395,37 @@ def _cumulative_phases(st, a, l, lam_grid, u_grid=None, node_interp=False,
         u_grid = _eval_u(st, lam_grid)
     u_lo = jnp.minimum(u_grid[..., :-1], u_grid[..., 1:])
     u_hi = jnp.maximum(u_grid[..., :-1], u_grid[..., 1:])
+    u_lo_s = jnp.maximum(u_lo, 1e-12)
     r_lo = 1.0 / jnp.maximum(u_hi, 1e-12)
-    r_hi = 1.0 / jnp.maximum(u_lo, 1e-12)
-    ln_lo = jnp.log(r_lo)
-    ln_hi = jnp.log(r_hi)
-    rn = jnp.exp(ln_lo[..., None] + (ln_hi - ln_lo)[..., None] * x)
+    r_hi = 1.0 / u_lo_s
+    # segment log-width from the U-DIFFERENCE, not a difference of
+    # logs: near a radial turning point adjacent samples differ by
+    # ~the working-precision resolution of u, so ln(r_hi) - ln(r_lo)
+    # is pure quantization noise (f32 log quantum ~5e-7 vs a true
+    # dlnr ~2e-8) — nodes then land far OUTSIDE the segment, U(u_node)
+    # evaluates negative, the underflow floor explodes 1/sqrt(U) to
+    # ~1e15, and ONE poisoned segment corrupts every cumulative phase
+    # after it (measured: escaping-corner FFJET pixels 70x too bright
+    # in the TPU mixed path).  u_hi - u_lo is EXACT for close values
+    # (Sterbenz), so log1p keeps dlnr at full relative accuracy at any
+    # scale.
+    dlnr = jnp.log1p((u_hi - u_lo) / u_lo_s)
+    rn = r_lo[..., None] * jnp.exp(dlnr[..., None] * x)
     urn = 1.0 / rn
-    Un = jnp.maximum(_u_eval(st.cU, urn), 1e-37)
+    Uraw = _u_eval(st.cU, urn)
+    # dtype-relative floor (safety net): U near a root is a cancelling
+    # sum of O(1) polynomial terms, so its roundoff noise floor is
+    # eps * (term scale) — an absolute 1e-37 floor would let a noise-
+    # negative U produce a 1e15 integrand instead of a bounded one
+    c0, c1, c2, c3, c4 = st.cU
+    uscale = (((jnp.abs(_bc(c4, urn.ndim)) * urn
+                + jnp.abs(_bc(c3, urn.ndim))) * urn
+               + jnp.abs(_bc(c2, urn.ndim))) * urn
+              + jnp.abs(_bc(c1, urn.ndim))) * urn + jnp.abs(_bc(c0, urn.ndim))
+    eps_u = float(jnp.finfo(jnp.result_type(u_grid)).eps)
+    Un = jnp.maximum(Uraw, 16.0 * eps_u * uscale + _TINY_U)
     fac = 1.0 / (rn * rn * jnp.sqrt(Un))
     dt_rr, dph_rr, daff_rr = _phase_integrands_radial(a, l_, urn)
-    dlnr = ln_hi - ln_lo
     dr = r_hi - r_lo
     # h(r) * (dr = r dlnr): h = (f - f_inf) * r -> node weight fac*rn
     r_t = dr + jnp.sum((dt_rr * fac - 1.0) * rn * w, axis=-1) * dlnr
