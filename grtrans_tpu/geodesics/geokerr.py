@@ -463,9 +463,27 @@ def _signs_and_counts(st, lam):
     return su, smu, tpr, tpm
 
 
-@partial(jax.jit, static_argnames=("npts", "node_interp", "prec"))
+def _hermite_refine(y_c, d_c, h_c, jmap, tmap):
+    """Fill a fine grid from coarse samples by cubic Hermite: y_c, d_c
+    (npix, n_c) coarse values and derivatives, h_c (npix, n_c-1)
+    segment widths, jmap/tmap static (npts,) segment index and
+    normalized position per fine point.  Exact at coarse nodes."""
+    y0 = y_c[:, jmap]
+    y1 = y_c[:, jmap + 1]
+    d0 = d_c[:, jmap]
+    d1 = d_c[:, jmap + 1]
+    h = h_c[:, jmap]
+    t = tmap[None, :]
+    t2 = t * t
+    t3 = t2 * t
+    return ((2 * t3 - 3 * t2 + 1) * y0 + (t3 - 2 * t2 + t) * h * d0
+            + (-2 * t3 + 3 * t2) * y1 + (t3 - t2) * h * d1)
+
+
+@partial(jax.jit, static_argnames=("npts", "node_interp", "prec",
+                                  "coarse"))
 def trace(a, mu0, alpha, beta, l, q2, sm, u0, npts, uout=None, phi0=0.0,
-          node_interp=True, prec="f64"):
+          node_interp=True, prec="f64", coarse=1):
     """Trace rays from the camera: npts samples, even in Mino time, from
     u=uout (default: the observer u0) to the horizon or back out to uout
     after a radial turning point (reference standard=1 mode).
@@ -501,8 +519,47 @@ def trace(a, mu0, alpha, beta, l, q2, sm, u0, npts, uout=None, phi0=0.0,
     # (measured p99 error 1e-2 in f32 — unusable), and its cost is
     # already bounded by MAX_DOUBLINGS=20.  Everything downstream of
     # (u, mu) is point-local algebra that f32 handles at ~1e-5.
-    u64 = _eval_u(st, lam)
-    mu64 = jnp.clip(_eval_mu(st, lam), -1.0, 1.0)
+    #
+    # coarse > 1: evaluate the two Weierstrass inversions (the dominant
+    # cost of the whole geodesic stage, PROFILE_r04) only at every
+    # coarse-th Mino node and fill between by cubic Hermite with the
+    # ANALYTIC derivatives du/dlam = su sqrt(U), dmu/dlam = smu sqrt(M)
+    # — u(lam), mu(lam) are smooth functions of Mino time (turning
+    # points are regular maxima the Hermite passes through exactly at
+    # the node-derivative level), so the fill error is
+    # O((coarse dlam)^4 y'''') ~ 1e-8 at the flagship sampling
+    # (validated against the dense trace in tests/test_precision.py).
+    if coarse > 1 and npts >= 4 * coarse:
+        import numpy as _np
+        idxs = list(range(0, npts, coarse))
+        if idxs[-1] != npts - 1:
+            idxs.append(npts - 1)
+        idxs_np = _np.asarray(idxs)
+        fine = _np.arange(npts)
+        j_of = _np.minimum(
+            _np.searchsorted(idxs_np, fine, side="right") - 1,
+            len(idxs) - 2)
+        t_of = ((fine - idxs_np[j_of])
+                / (idxs_np[j_of + 1] - idxs_np[j_of]))
+        lam_c = lam[:, idxs_np]
+        u_c = _eval_u(st, lam_c)
+        mu_c = jnp.clip(_eval_mu(st, lam_c), -1.0, 1.0)
+        su_c, smu_c, _, _ = _signs_and_counts(st, lam_c)
+        du_c = su_c * jnp.sqrt(jnp.maximum(_u_eval(st.cU, u_c), 0.0))
+        cM = st.cM
+        Mv = ((_bc(cM[4], u_c.ndim) * mu_c ** 2
+               + _bc(cM[2], u_c.ndim)) * mu_c ** 2
+              + _bc(cM[0], u_c.ndim))
+        dmu_c = smu_c * jnp.sqrt(jnp.maximum(Mv, 0.0))
+        h_c = lam_c[:, 1:] - lam_c[:, :-1]
+        tmap = jnp.asarray(t_of, lam.dtype)
+        u64 = jnp.maximum(_hermite_refine(u_c, du_c, h_c, j_of, tmap),
+                          1e-12)
+        mu64 = jnp.clip(_hermite_refine(mu_c, dmu_c, h_c, j_of, tmap),
+                        -1.0, 1.0)
+    else:
+        u64 = _eval_u(st, lam)
+        mu64 = jnp.clip(_eval_mu(st, lam), -1.0, 1.0)
 
     if prec == "mixed":
         f32 = jnp.float32

@@ -160,11 +160,17 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
                                        u0_v, npts=1, phi0=cfg.phi0)
         uout = cfg.uout if _use_uout else None
         # prec='mixed' extends to the geodesic stage: f32 point-local
-        # math, f64 landmarks + accumulations (geokerr.trace docstring)
+        # math, f64 landmarks + accumulations, and 4x-coarse Weierstrass
+        # evaluation with Hermite fill (geokerr.trace docstring)
+        mixed = cfg.prec == "mixed"
+        # Hermite fill error scales as (coarse/npts)^4 of the trace:
+        # only coarsen dense traces (npts >= 256 keeps the whole-image
+        # mixed-vs-f64 error at ~1e-4; a 64-point SARIAF render at
+        # coarse=4 measured 4.4e-3 against the 2e-3 bar)
         return geokerr.trace(a, mu0_v, alpha, beta, l, q2, sm, u0_v,
                              nup, uout=uout, phi0=cfg.phi0,
-                             prec=("mixed" if cfg.prec == "mixed"
-                                   else "f64"))
+                             prec=("mixed" if mixed else "f64"),
+                             coarse=(4 if mixed and nup >= 256 else 1))
 
     def _render_from_geo(geo, alpha, beta, mu0_v, tcur, t0sh, mdot):
         # mdot is a TRACED scalar: an nmdot>1 SED scan (or a pgriter fit)

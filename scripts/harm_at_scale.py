@@ -111,6 +111,11 @@ def main():
     rec = {
         "problem": f"HARM {args.nx}x{args.nx}x{args.npts} IQUV "
                    f"({args.iname}), synthetic dump 192x128",
+        "caveat": "dump is a SYNTHETIC 192x128 Keplerian+plunging flow "
+                  "(reference dump040 absent from the mount): the run "
+                  "exercises camera scale, not realistic snapshot "
+                  "sizes/occupancy — see docs/SHARDING.md for the "
+                  "capacity math at production dump sizes",
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
         "x64": bool(jax.config.jax_enable_x64),

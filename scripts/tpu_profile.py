@@ -88,7 +88,8 @@ def main():
     for prec in ("f64", "mixed"):
         key = "stages_ms" if prec == "f64" else "stages_ms_mixed"
         trace = jax.jit(lambda al, be, l, q2, sm, _p=prec: geokerr.trace(
-            a, mu0, al, be, l, q2, sm, cam.u0, npts, uout=0.01, prec=_p))
+            a, mu0, al, be, l, q2, sm, cam.u0, npts, uout=0.01, prec=_p,
+            coarse=(4 if _p == "mixed" and npts >= 256 else 1)))
         t = timeit(trace, *cargs)
         result[key]["geodesics"] = round(t * 1e3, 1)
         print(f"geodesics({prec}): {t*1e3:9.1f} ms")
@@ -134,7 +135,9 @@ def main():
     def pipeline(al, be, l, q2, sm, upto, prec):
         geo = geokerr.trace(a, mu0, al, be, l, q2, sm, cam.u0, npts,
                             uout=0.01,
-                            prec="mixed" if prec == "mixed" else "f64")
+                            prec="mixed" if prec == "mixed" else "f64",
+                            coarse=(4 if prec == "mixed"
+                                    and npts >= 256 else 1))
         if upto == "trace":
             return geo.x.sum() + geo.k.sum() + geo.lam.sum()
         if prec == "mixed":
