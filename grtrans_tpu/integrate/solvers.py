@@ -559,6 +559,11 @@ def _seq_march(ac, rc, jc, dlam, dlam64, cell_ok, I0c, profile=True):
         I = jnp.where(ok, Inew, I)
         return I, (I[:, 0] if emit_profile else None)
 
+    # NOTE: do NOT pass unroll>1 here — measured on v5e (tunneled
+    # backend), unroll=8 produced a WRONG image on the TPU mixed path
+    # (flagship core dimmed 0.54x; CPU bit-identical, DK roots ruled
+    # out) for a ~1% speed change.  The per-step cost is already
+    # amortized by the fused cell construction.
     Iend, ys = jax.lax.scan(cell, I0c, xs)
     if not emit_profile:
         # observer intensity only (the default driver path, extra=0):

@@ -17,7 +17,13 @@ explicitly as (re, im) float64 pairs.
 import jax
 import jax.numpy as jnp
 
-N_ITER = 64
+# DK iteration bound: measured on full-camera Kerr radial quartics
+# (a = 0.998/0.5/0.0 grids), the iteration is machine-exact by n = 20
+# (3e-15 vs the 64-iteration reference; 1.8e-2 at n = 12), and a Newton
+# polish follows — 24 keeps a margin at 2.7x less work in one of the
+# per-pixel setup hot loops (PROFILE_r04: setup is ~half the fused
+# mixed geodesic stage)
+N_ITER = 24
 BIG = 1e30
 
 
