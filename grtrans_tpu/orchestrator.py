@@ -104,9 +104,15 @@ def _render_fn_key(cfg, model):
 
 
 def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
-                reuse_geo=False, gdfile=None):
+                reuse_geo=False, gdfile=None, device_output=False):
     """Run the full render.  Returns (ivals, ab, freqs) numpy arrays with
     ivals shape (ncams, npix, nvals).
+
+    device_output=True returns ivals as a LIST of per-camera device
+    arrays without forcing a host transfer: dispatch is asynchronous,
+    so callers can queue several renders and sync once — on tunneled
+    backends every synchronous fetch costs a fixed ~36 ms round trip
+    (measured, bench.py) that pipelined dispatch amortizes away.
 
     chunk: render the camera in pixel blocks of this size through ONE
     jitted program (the last block is padded to the same shape) — bounds
@@ -299,12 +305,14 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
                 if geo is not None and not chunked:
                     iv = _render_geo_jit(geo, cam.alpha, cam.beta,
                                          float(mu0), tcur, t0sh, md)
-                    ivals_all.append(np.asarray(iv))
+                    ivals_all.append(iv if device_output
+                                     else np.asarray(iv))
                 elif not chunked:
                     iv = _render_camera(cam.alpha, cam.beta, cam.l,
                                         cam.q2, cam.sm, float(mu0),
                                         cam.u0, tcur, t0sh, md)
-                    ivals_all.append(np.asarray(iv))
+                    ivals_all.append(iv if device_output
+                                     else np.asarray(iv))
                 else:
                     parts = []
                     for lo2 in range(0, npix, chunk):
@@ -332,5 +340,8 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
                     ivals_all.append(np.concatenate(parts, axis=1))
     if verbose:
         print(f"grtrans_run: {time.time() - t0:.2f} s")
+    if device_output:
+        # list of per-(camera) device arrays, NOT fetched: callers sync
+        return ivals_all, ab, np.asarray(freqs)
     ivals = np.concatenate(ivals_all, axis=0)  # (ncams, npix, nvals)
     return ivals, ab, np.asarray(freqs)
