@@ -588,16 +588,34 @@ def trace(a, mu0, alpha, beta, l, q2, sm, u0, npts, uout=None, phi0=0.0,
                           jnp.sign(mu0) * jnp.arctan2(beta, alpha),
                           0.0)[:, None].astype(u.dtype)
 
-    # the wavevector is built from the f64 (u, mu) even under mixed:
-    # k_r = sqrt(R(r)) and k_th = sqrt(M(mu)) cancel catastrophically
-    # near turning points in f32 (measured O(3e-4) component errors on
-    # turning-point-adjacent samples); one pass of per-point f64
-    # algebra is cheap next to the Weierstrass stage, and the result is
-    # cast for downstream consumers
-    r64 = 1.0 / jnp.maximum(u64, 1e-12)
-    k = kerr.calc_nullp(_bc(q2, u64.ndim), _bc(l, u64.ndim), a, r64,
-                        mu64, su.astype(u64.dtype),
-                        smu.astype(u64.dtype)).astype(u.dtype)
+    # the wavevector under mixed: f32 per-point algebra with ONE f64
+    # repair — k_r = sqrt(R(r)), k_th = sqrt(M(mu)) cancel near turning
+    # points in f32 (noise-negative R/M, O(3e-4) component errors on
+    # the adjacent samples), so R and M are evaluated in f64 (two cheap
+    # polynomial evaluations), sqrt'ed, and cast; the rest of
+    # calc_nullp's algebra runs f32.  f64 path unchanged.
+    if prec == "mixed":
+        # sqrt(U), sqrt(M) in f64 (the turning-point cancellations),
+        # everything else f32
+        # the cancellation is in the POLYNOMIAL, not the sqrt: evaluate
+        # U/M in f64, cast, sqrt in f32 (f32 sqrt is correctly rounded)
+        sqrtU = jnp.sqrt(jnp.maximum(_u_eval(st.cU, u64),
+                                     0.0).astype(u.dtype))
+        Mf64 = (((_bc(st.cM[4], u64.ndim) * mu64 ** 2)
+                 + _bc(st.cM[2], u64.ndim)) * mu64 ** 2
+                + _bc(st.cM[0], u64.ndim))
+        sqrtM = jnp.sqrt(jnp.maximum(Mf64, 0.0).astype(u.dtype))
+        r = 1.0 / jnp.maximum(u, jnp.asarray(1e-12, u.dtype))
+        r64c = 1.0 / jnp.maximum(u64, 1e-12)
+        delta64 = (r64c * r64c - 2.0 * r64c + a * a).astype(u.dtype)
+        k = kerr.calc_nullp(_bc(q2.astype(u.dtype), u.ndim),
+                            _bc(lq, u.ndim), a, r, mu, su, smu,
+                            sqrtU=sqrtU, sqrtM=sqrtM, delta=delta64)
+    else:
+        r64 = 1.0 / jnp.maximum(u64, 1e-12)
+        k = kerr.calc_nullp(_bc(q2, u64.ndim), _bc(l, u64.ndim), a, r64,
+                            mu64, su.astype(u64.dtype),
+                            smu.astype(u64.dtype)).astype(u.dtype)
 
     x = jnp.stack([t, r, th, phi], axis=-1)
     valid = (u > 0.0) & (u < uf * (1 + 10 * HOR_EPS)) & jnp.isfinite(u)

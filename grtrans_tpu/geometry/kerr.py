@@ -213,22 +213,33 @@ def calcg(u, mu, q2, l, a, tpm, tpr, su, sm, vrl, vtl, vpl):
                         - emu2 * enu * vtl / rho * st * tt)
 
 
-def calc_nullp(q2, l, a, r, mu, su, smu):
+def calc_nullp(q2, l, a, r, mu, su, smu, sqrtU=None, sqrtM=None,
+               delta=None):
     """Photon wavevector k^mu (contravariant BL, forward-in-time affine
     parameterization) from constants of motion.  kerr.f90:255-290 (the
     rcomp/thcomp branch used by geodesics.f90:362).
 
     su = sign of du/dlam along the traced (observer->in) direction at this
     point (i.e. +1 before a radial turning point, -1 after); smu likewise
-    the traced sign of dmu/dlam."""
+    the traced sign of dmu/dlam.
+
+    sqrtU/sqrtM/delta: optional precomputed sqrt of the radial/polar
+    potentials and the horizon function Delta = r^2 - 2r + a^2 (the
+    three expressions that cancel catastrophically near turning points
+    / the horizon — the mixed-precision path evaluates them in f64 and
+    passes them in so the rest of the algebra can run f32)."""
     u = 1.0 / r
     rho2 = r * r + a * a * mu * mu
-    d = r * r - 2.0 * r + a * a
-    Mf = q2 + (a * a - q2 - l * l) * mu * mu - a * a * mu ** 4
-    kmu = smu * safe_sqrt(Mf / (1.0 - mu * mu)) / rho2
-    Uf = (1.0 + (a * a - q2 - l * l) * u * u
-          + 2.0 * ((a - l) ** 2 + q2) * u ** 3 - a * a * q2 * u ** 4)
-    kr = su * r * r * safe_sqrt(Uf) / rho2
+    d = (r * r - 2.0 * r + a * a) if delta is None else delta
+    if sqrtM is None:
+        Mf = q2 + (a * a - q2 - l * l) * mu * mu - a * a * mu ** 4
+        sqrtM = safe_sqrt(Mf)
+    kmu = smu * sqrtM / safe_sqrt(1.0 - mu * mu) / rho2
+    if sqrtU is None:
+        Uf = (1.0 + (a * a - q2 - l * l) * u * u
+              + 2.0 * ((a - l) ** 2 + q2) * u ** 3 - a * a * q2 * u ** 4)
+        sqrtU = safe_sqrt(Uf)
+    kr = su * r * r * sqrtU / rho2
     kt = (-a * (a * (1.0 - mu * mu) - l)
           + (r * r + a * a) / d * (r * r + a * a - a * l)) / rho2
     kph = (-a + l / (1.0 - mu * mu) + a / d * (r * r + a * a - a * l)) / rho2
