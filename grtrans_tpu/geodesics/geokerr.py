@@ -463,11 +463,17 @@ def _signs_and_counts(st, lam):
     return su, smu, tpr, tpm
 
 
-def _hermite_refine(y_c, d_c, h_c, jmap, tmap):
+def _hermite_refine(y_c, d_c, h_c, jmap, tmap, with_deriv=False):
     """Fill a fine grid from coarse samples by cubic Hermite: y_c, d_c
     (npix, n_c) coarse values and derivatives, h_c (npix, n_c-1)
     segment widths, jmap/tmap static (npts,) segment index and
-    normalized position per fine point.  Exact at coarse nodes."""
+    normalized position per fine point.  Exact at coarse nodes.
+
+    with_deriv=True also returns dy/dlam of the interpolant — for the
+    potentials this IS the signed sqrt(U) / sqrt(M) (du/dlam = su
+    sqrt(U)), accurate to O(h^3) with NO polynomial evaluation and no
+    turning-point cancellation (the cubic's derivative crosses zero
+    smoothly through the turn)."""
     y0 = y_c[:, jmap]
     y1 = y_c[:, jmap + 1]
     d0 = d_c[:, jmap]
@@ -476,8 +482,13 @@ def _hermite_refine(y_c, d_c, h_c, jmap, tmap):
     t = tmap[None, :]
     t2 = t * t
     t3 = t2 * t
-    return ((2 * t3 - 3 * t2 + 1) * y0 + (t3 - 2 * t2 + t) * h * d0
-            + (-2 * t3 + 3 * t2) * y1 + (t3 - t2) * h * d1)
+    y = ((2 * t3 - 3 * t2 + 1) * y0 + (t3 - 2 * t2 + t) * h * d0
+         + (-2 * t3 + 3 * t2) * y1 + (t3 - t2) * h * d1)
+    if not with_deriv:
+        return y
+    dy = ((6 * t2 - 6 * t) * (y0 - y1) / h + (3 * t2 - 4 * t + 1) * d0
+          + (3 * t2 - 2 * t) * d1)
+    return y, dy
 
 
 @partial(jax.jit, static_argnames=("npts", "node_interp", "prec",
@@ -529,6 +540,8 @@ def trace(a, mu0, alpha, beta, l, q2, sm, u0, npts, uout=None, phi0=0.0,
     # the node-derivative level), so the fill error is
     # O((coarse dlam)^4 y'''') ~ 1e-8 at the flagship sampling
     # (validated against the dense trace in tests/test_precision.py).
+    f32fill = (prec == "mixed") and coarse > 1 and npts >= 4 * coarse
+    sqrtU_h = sqrtM_h = None
     if coarse > 1 and npts >= 4 * coarse:
         import numpy as _np
         idxs = list(range(0, npts, coarse))
@@ -552,11 +565,30 @@ def trace(a, mu0, alpha, beta, l, q2, sm, u0, npts, uout=None, phi0=0.0,
               + _bc(cM[0], u_c.ndim))
         dmu_c = smu_c * jnp.sqrt(jnp.maximum(Mv, 0.0))
         h_c = lam_c[:, 1:] - lam_c[:, :-1]
-        tmap = jnp.asarray(t_of, lam.dtype)
-        u64 = jnp.maximum(_hermite_refine(u_c, du_c, h_c, j_of, tmap),
-                          1e-12)
-        mu64 = jnp.clip(_hermite_refine(mu_c, dmu_c, h_c, j_of, tmap),
-                        -1.0, 1.0)
+        if f32fill:
+            # the whole fill runs f32 and the interpolant's DERIVATIVE
+            # supplies the signed sqrt(U)/sqrt(M) (du/dlam = su sqrt(U))
+            # — O(h^3) accurate, no polynomial cancellation, and no
+            # per-fine-point f64 work at all
+            f32 = jnp.float32
+            cast = lambda v: v.astype(f32)
+            tmap = jnp.asarray(t_of, f32)
+            u64, duf = _hermite_refine(cast(u_c), cast(du_c), cast(h_c),
+                                       j_of, tmap, with_deriv=True)
+            u64 = jnp.maximum(u64, 1e-12)
+            mu64, dmuf = _hermite_refine(cast(mu_c), cast(dmu_c),
+                                         cast(h_c), j_of, tmap,
+                                         with_deriv=True)
+            mu64 = jnp.clip(mu64, -1.0, 1.0)
+            sqrtU_h = jnp.abs(duf)
+            sqrtM_h = jnp.abs(dmuf)
+        else:
+            tmap = jnp.asarray(t_of, lam.dtype)
+            u64 = jnp.maximum(
+                _hermite_refine(u_c, du_c, h_c, j_of, tmap), 1e-12)
+            mu64 = jnp.clip(
+                _hermite_refine(mu_c, dmu_c, h_c, j_of, tmap),
+                -1.0, 1.0)
     else:
         u64 = _eval_u(st, lam)
         mu64 = jnp.clip(_eval_mu(st, lam), -1.0, 1.0)
@@ -595,22 +627,32 @@ def trace(a, mu0, alpha, beta, l, q2, sm, u0, npts, uout=None, phi0=0.0,
     # polynomial evaluations), sqrt'ed, and cast; the rest of
     # calc_nullp's algebra runs f32.  f64 path unchanged.
     if prec == "mixed":
-        # sqrt(U), sqrt(M) in f64 (the turning-point cancellations),
-        # everything else f32
-        # the cancellation is in the POLYNOMIAL, not the sqrt: evaluate
-        # U/M in f64, cast, sqrt in f32 (f32 sqrt is correctly rounded)
-        sqrtU = jnp.sqrt(jnp.maximum(_u_eval(st.cU, u64),
-                                     0.0).astype(u.dtype))
-        Mf64 = (((_bc(st.cM[4], u64.ndim) * mu64 ** 2)
-                 + _bc(st.cM[2], u64.ndim)) * mu64 ** 2
-                + _bc(st.cM[0], u64.ndim))
-        sqrtM = jnp.sqrt(jnp.maximum(Mf64, 0.0).astype(u.dtype))
+        if sqrtU_h is not None:
+            # f32-fill path: the Hermite derivatives ARE the potentials
+            sqrtU, sqrtM = sqrtU_h, sqrtM_h
+        else:
+            # the cancellation is in the POLYNOMIAL, not the sqrt:
+            # evaluate U/M in f64, cast, sqrt in f32 (correctly rounded)
+            sqrtU = jnp.sqrt(jnp.maximum(_u_eval(st.cU, u64),
+                                         0.0).astype(u.dtype))
+            Mf64 = (((_bc(st.cM[4], u64.ndim) * mu64 ** 2)
+                     + _bc(st.cM[2], u64.ndim)) * mu64 ** 2
+                    + _bc(st.cM[0], u64.ndim))
+            sqrtM = jnp.sqrt(jnp.maximum(Mf64, 0.0).astype(u.dtype))
         r = 1.0 / jnp.maximum(u, jnp.asarray(1e-12, u.dtype))
-        r64c = 1.0 / jnp.maximum(u64, 1e-12)
-        delta64 = (r64c * r64c - 2.0 * r64c + a * a).astype(u.dtype)
+        # Delta in FACTORED form: the expanded r^2 - 2r + a^2 cancels
+        # catastrophically near the horizon in f32 (12% k_t errors);
+        # the factored small factor is an exact subtraction of nearby
+        # f32 values.  The residual few-percent k_t error on the last
+        # samples of plunging rays is f32's resolution of r itself —
+        # those samples are infinitely redshifted (g -> 0, emissivity
+        # -> 0), whole-image effect pinned at ~1e-4 by the bench
+        # cross-check and tests/test_precision.py.
+        _h = jnp.sqrt(jnp.maximum(1.0 - a * a, 0.0)).astype(u.dtype)
+        delta = (r - (1.0 + _h)) * (r - (1.0 - _h))
         k = kerr.calc_nullp(_bc(q2.astype(u.dtype), u.ndim),
                             _bc(lq, u.ndim), a, r, mu, su, smu,
-                            sqrtU=sqrtU, sqrtM=sqrtM, delta=delta64)
+                            sqrtU=sqrtU, sqrtM=sqrtM, delta=delta)
     else:
         r64 = 1.0 / jnp.maximum(u64, 1e-12)
         k = kerr.calc_nullp(_bc(q2, u64.ndim), _bc(l, u64.ndim), a, r64,
