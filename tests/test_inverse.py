@@ -23,7 +23,10 @@ def test_recover_spin_and_density():
     assert np.isfinite(np.asarray(target)).all()
 
     start = dict(spin=0.55, n0=1.2e7)           # far-off start
-    best, losses = fit_image(prob, target, start, steps=45, lr=0.1)
+    # lr=0.1 stalls on a shallow plateau of this landscape (measured:
+    # 150 steps no better than 45); 0.2 rides through it and converges
+    # to loss ~1e-3, spin 0.91, n0 4.0e7 in 100 steps
+    best, losses = fit_image(prob, target, start, steps=100, lr=0.2)
 
     assert min(losses) < 0.1 * losses[0], (losses[0], min(losses))
     assert abs(best["spin"] - truth["spin"]) < 0.08, best
