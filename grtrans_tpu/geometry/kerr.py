@@ -234,7 +234,16 @@ def calc_nullp(q2, l, a, r, mu, su, smu, sqrtU=None, sqrtM=None,
     if sqrtM is None:
         Mf = q2 + (a * a - q2 - l * l) * mu * mu - a * a * mu ** 4
         sqrtM = safe_sqrt(Mf)
-    kmu = smu * sqrtM / safe_sqrt(1.0 - mu * mu) / rho2
+    # 1 - mu^2 floored at ~3 eps of mu's dtype (same rationale as
+    # geokerr._phase_integrands_polar): the trace clips mu to exactly
+    # +-1 at pole-grazing samples, and sqrtM/safe_sqrt(0) = 0/0 = NaN
+    # would poison the whole downstream pipeline for those rays (the
+    # f32 mixed path clips more readily).  At an exact pole M -> 0 at
+    # the same rate as 1-mu^2, so the floored ratio stays finite; exact
+    # pole-crossers have l = 0, making the kph l/(1-mu^2) term 0 too.
+    eps3 = 3.0 * float(jnp.finfo(jnp.result_type(mu)).eps)
+    one_m = jnp.maximum(1.0 - mu * mu, eps3)
+    kmu = smu * sqrtM / jnp.sqrt(one_m) / rho2
     if sqrtU is None:
         Uf = (1.0 + (a * a - q2 - l * l) * u * u
               + 2.0 * ((a - l) ** 2 + q2) * u ** 3 - a * a * q2 * u ** 4)
@@ -242,7 +251,7 @@ def calc_nullp(q2, l, a, r, mu, su, smu, sqrtU=None, sqrtM=None,
     kr = su * r * r * sqrtU / rho2
     kt = (-a * (a * (1.0 - mu * mu) - l)
           + (r * r + a * a) / d * (r * r + a * a - a * l)) / rho2
-    kph = (-a + l / (1.0 - mu * mu) + a / d * (r * r + a * a - a * l)) / rho2
+    kph = (-a + l / one_m + a / d * (r * r + a * a - a * l)) / rho2
     return jnp.stack(jnp.broadcast_arrays(kt, kr, kmu, kph), axis=-1)
 
 

@@ -276,7 +276,10 @@ def _calc_O(a, rho, dx, dx64=None, with_bad=False):
     # artifacts/BADCELL_AUDIT.json.)  Cells whose cubic still exceeds
     # the passivity bound (fine-tuned huge-|Z| inputs far outside the
     # near-nilpotent regime) keep the scalar exp(-aI dx) fallback.
-    bad = jnp.max(jnp.abs(O), axis=(0, 1)) > 1.0 + 1e-6
+    # ~(<=) rather than (>): NaN compares False both ways, so a NaN
+    # analytic matricant must land in `bad` (repair path) — `> bound`
+    # would let it bypass the cubic/scalar fallback and propagate
+    bad = ~(jnp.max(jnp.abs(O), axis=(0, 1)) <= 1.0 + 1e-6)
     need_poly = degen | bad
     # double-where: only flagged cells' coefficients enter the cubic
     # powers (a strong-rotation cell with phase ~1e6 rad would

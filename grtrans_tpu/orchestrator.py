@@ -277,8 +277,24 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
             if geo is None:
                 if chunked:
                     # chunk the trace too: device memory stays bounded by
-                    # the chunk size, bundle assembled on the host
+                    # the chunk size, bundle assembled on the host.
+                    # PIPELINED with a depth-2 window: chunk i+1 is
+                    # dispatched before chunk i is fetched, so the
+                    # device computes while the host pulls the previous
+                    # bundle over the tunnel (a synchronous
+                    # dispatch->fetch->dispatch loop leaves the device
+                    # idle for the whole fetch; bundles are the LARGE
+                    # fetch — x,k,lam,tpm,tpr at npts points/pixel).
+                    # Window depth 2 bounds device memory at two chunk
+                    # bundles + working set.
                     parts = []
+                    inflight = []
+
+                    def _drain_trace():
+                        g, n = inflight.pop(0)
+                        parts.append(jax.tree_util.tree_map(
+                            lambda x: np.asarray(x)[:n], g))
+
                     for lo2 in range(0, npix, chunk):
                         hi2 = min(lo2 + chunk, npix)
                         g = _trace_jit(_blk(cam.alpha, lo2, hi2, chunk),
@@ -287,8 +303,11 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
                                        _blk(cam.q2, lo2, hi2, chunk),
                                        _blk(cam.sm, lo2, hi2, chunk),
                                        float(mu0), cam.u0)
-                        parts.append(jax.tree_util.tree_map(
-                            lambda x: np.asarray(x)[:hi2 - lo2], g))
+                        inflight.append((g, hi2 - lo2))
+                        if len(inflight) > 1:
+                            _drain_trace()
+                    while inflight:
+                        _drain_trace()
                     geo = jax.tree_util.tree_map(
                         lambda *xs: np.concatenate(xs, axis=0), *parts)
                 else:
@@ -314,6 +333,16 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
                     ivals_all.append(iv if device_output
                                      else np.asarray(iv))
                 else:
+                    # PIPELINED chunked render: dispatch EVERY chunk
+                    # first (jax dispatch is asynchronous), fetch after.
+                    # The per-chunk IQUV output is small (npix_chunk x
+                    # nvals), so keeping all chunk outputs on device
+                    # until the final assembly costs one image worth of
+                    # HBM while removing the per-chunk idle bubble —
+                    # the synchronous loop paid dispatch-RT + fetch +
+                    # host assembly with the device stalled (measured
+                    # 3.8x per-ray at 1024^2, artifacts/
+                    # AT_SCALE_PROFILE.json attributes it).
                     parts = []
                     for lo2 in range(0, npix, chunk):
                         hi2 = min(lo2 + chunk, npix)
@@ -336,8 +365,16 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
                                 _blk(cam.sm, lo2, hi2, chunk),
                                 float(mu0), cam.u0, tcur,
                                 _blk(t0sh, lo2, hi2, chunk), md)
-                        parts.append(np.asarray(iv)[:, :hi2 - lo2])
-                    ivals_all.append(np.concatenate(parts, axis=1))
+                        parts.append((iv, hi2 - lo2))
+                    if device_output:
+                        # stay on device (documented contract): one
+                        # device-side concat, still not fetched
+                        ivals_all.append(jnp.concatenate(
+                            [iv[:, :n] for iv, n in parts], axis=1))
+                    else:
+                        ivals_all.append(np.concatenate(
+                            [np.asarray(iv)[:, :n] for iv, n in parts],
+                            axis=1))
     if verbose:
         print(f"grtrans_run: {time.time() - t0:.2f} s")
     if device_output:

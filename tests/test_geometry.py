@@ -110,6 +110,19 @@ class TestNullp:
         np.testing.assert_allclose(kl[..., 0], -1.0, rtol=1e-10)
         np.testing.assert_allclose(kl[..., 3], l, rtol=1e-10)
 
+    def test_exact_pole_finite(self):
+        # round-4 advisor: mu clipped to exactly +-1 (pole-grazing
+        # samples, esp. the f32 mixed path) must yield a FINITE
+        # wavevector — sqrtM/safe_sqrt(1-mu^2) was 0/0 = NaN
+        a = 0.9
+        for dt in (jnp.float64, jnp.float32):
+            mu = jnp.array([1.0, -1.0, 0.999999], dtype=dt)
+            k = kerr.calc_nullp(jnp.asarray(3.0, dtype=dt),
+                                jnp.asarray(0.0, dtype=dt), a,
+                                jnp.array([6.0, 6.0, 6.0], dtype=dt),
+                                mu, 1.0, 1.0)
+            assert bool(jnp.isfinite(k).all()), dt
+
 
 class TestFourVelocities:
     def test_plunging_normalization(self):
