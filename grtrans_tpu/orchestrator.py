@@ -104,9 +104,20 @@ def _render_fn_key(cfg, model):
 
 
 def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
-                reuse_geo=False, gdfile=None, device_output=False):
+                reuse_geo=False, gdfile=None, device_output=False,
+                mesh=None):
     """Run the full render.  Returns (ivals, ab, freqs) numpy arrays with
     ivals shape (ncams, npix, nvals).
+
+    mesh: a jax.sharding.Mesh — the production multi-chip path: the
+    camera's pixel arrays (and any reused geodesic bundle) are placed
+    with their pixel axis sharded over the mesh's first axis, and XLA
+    compiles the whole render as one SPMD program with no forward
+    communication (rays are independent; see parallel/sharding.py).
+    The image comes back with the same pixel sharding; cross-pixel
+    reductions downstream (spectra, gradients) become psums.  Use a
+    pixel count divisible by the mesh size.  Incompatible with chunk
+    (chunk bounds one chip's memory; a mesh shards instead).
 
     device_output=True returns ivals as a LIST of per-camera device
     arrays without forcing a host transfer: dispatch is asynchronous,
@@ -220,6 +231,20 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
         _render_cache_put(_ck, model,
                           (_render_camera, _trace_jit, _render_geo_jit))
 
+    if mesh is not None:
+        if chunk is not None:
+            raise ValueError("mesh= and chunk= are mutually exclusive: "
+                             "a mesh shards the pixel axis; chunking "
+                             "bounds one chip's memory")
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        _pix_sh = NamedSharding(mesh, _P(mesh.axis_names[0]))
+
+        def _put(x):
+            return jax.device_put(jnp.asarray(x), _pix_sh)
+    else:
+        def _put(x):
+            return x
+
     ivals_all = []
     ab = None
     t0 = time.time()
@@ -234,6 +259,10 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
             cam = cam._replace(alpha=cam.alpha[lo:hi],
                                beta=cam.beta[lo:hi], l=cam.l[lo:hi],
                                q2=cam.q2[lo:hi], sm=cam.sm[lo:hi])
+        if mesh is not None:
+            cam = cam._replace(alpha=_put(cam.alpha), beta=_put(cam.beta),
+                               l=_put(cam.l), q2=_put(cam.q2),
+                               sm=_put(cam.sm))
         if ab is None:
             ab = np.stack([np.asarray(cam.alpha), np.asarray(cam.beta)],
                           axis=0)
@@ -249,6 +278,7 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
             t0sh = t0sh - jnp.min(t0sh)
         else:
             t0sh = jnp.zeros_like(cam.l)
+        t0sh = _put(t0sh)
         npix = cam.alpha.shape[0]
         chunked = chunk is not None and chunk < npix
 
@@ -317,6 +347,9 @@ def grtrans_run(cfg: GrtransConfig, model=None, verbose=False, chunk=None,
                                    cam.sm, float(mu0), cam.u0))
                 if gdfile is not None:
                     geo_cache.save_bundle(path, geo, key=key)
+            if mesh is not None:
+                # bundle leaves are all (npix, ...) — shard pixel axis
+                geo = jax.tree_util.tree_map(_put, geo)
         for it in range(cfg.nt):
             tcur = it * cfg.dt
             for im in range(len(mdots)):

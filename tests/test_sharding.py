@@ -60,6 +60,26 @@ def test_sharded_image_matches_unsharded():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-12, atol=0)
 
 
+def test_grtrans_run_mesh_matches_unsharded():
+    """The production orchestrator entry under a mesh (grtrans_run
+    mesh=...) equals the single-device run — this is the path
+    __graft_entry__.dryrun_multichip exercises."""
+    from grtrans_tpu.config import GrtransConfig
+    from grtrans_tpu.orchestrator import grtrans_run
+    cfg = GrtransConfig(fname="SARIAF", ename="POLSYNCHTH", nvals=4,
+                        spin=A, standard=1, nn=(4, 4, 16),
+                        mumin=MU0, mumax=MU0, nmu=1, nfreq=1,
+                        fmin=2.3e11, fmax=2.3e11, iname="formal",
+                        mbh=MBH, gridvals=(-12.0, 12.0, -12.0, 12.0),
+                        fargs=dict(n0=4e7, t0=1.6e11, beta=10.0))
+    model = load_fluid_model("SARIAF", **cfg.fargs)
+    ref, _, _ = grtrans_run(cfg, model=model)
+    out, _, _ = grtrans_run(cfg, model=model, mesh=pixel_mesh(NDEV))
+    np.testing.assert_allclose(out, ref, rtol=1e-12, atol=0)
+    with pytest.raises(ValueError):
+        grtrans_run(cfg, model=model, mesh=pixel_mesh(NDEV), chunk=8)
+
+
 def test_sharded_spectrum_psum_matches():
     """The cross-pixel flux reduction (a psum over the mesh under SPMD
     partitioning) equals the unsharded sum."""
