@@ -313,21 +313,33 @@ def _phase_integrands_polar(a, l, mu):
     return dt_m, dph_m, daff_m
 
 
+def _hermite_nodes_ep(y0, y1, d0, d1, h, x):
+    """Cubic Hermite values at GL nodes x from per-segment endpoint
+    values/derivatives (each (..., nseg))."""
+    y0 = y0[..., None]
+    y1 = y1[..., None]
+    d0 = d0[..., None]
+    d1 = d1[..., None]
+    h = h[..., None]
+    t2 = x * x
+    t3 = t2 * x
+    return ((2 * t3 - 3 * t2 + 1) * y0 + (t3 - 2 * t2 + x) * h * d0
+            + (-2 * t3 + 3 * t2) * y1 + (t3 - t2) * h * d1)
+
+
 def _hermite_nodes(y, d, dseg, x):
     """Cubic Hermite values at GL nodes x of each segment, from grid
     endpoint values y and trace-direction derivatives d (both
     (npix, npts)).  O(dseg^4) accurate — the derivatives are analytic
     (dy/dlam = +-sqrt(potential)), so each node costs a handful of fused
     multiply-adds instead of a Weierstrass evaluation."""
-    y0 = y[..., :-1, None]
-    y1 = y[..., 1:, None]
-    d0 = d[..., :-1, None]
-    d1 = d[..., 1:, None]
-    h = dseg[..., None]
-    t2 = x * x
-    t3 = t2 * x
-    return ((2 * t3 - 3 * t2 + 1) * y0 + (t3 - 2 * t2 + x) * h * d0
-            + (-2 * t3 + 3 * t2) * y1 + (t3 - t2) * h * d1)
+    return _hermite_nodes_ep(y[..., :-1], y[..., 1:], d[..., :-1],
+                             d[..., 1:], dseg, x)
+
+
+# module flag: tests set False to A/B the windowed lam-space radial
+# quadrature against the full dual evaluation (results must be equal)
+_PHASE_WINDOW = True
 
 
 def _cumulative_phases(st, a, l, lam_grid, u_grid=None, node_interp=False,
@@ -366,7 +378,7 @@ def _cumulative_phases(st, a, l, lam_grid, u_grid=None, node_interp=False,
                 + _bc(cM[2], u_grid.ndim)) * mu_grid ** 2)
               + _bc(cM[0], u_grid.ndim))
         dmu_g = smu_g * jnp.sqrt(jnp.maximum(Mv, 0.0))
-        un = _hermite_nodes(u_grid, du_g, dseg, x)
+        un = None          # radial lam-space nodes built per-window below
         mun = jnp.clip(_hermite_nodes(mu_grid, dmu_g, dseg, x), -1.0, 1.0)
     else:
         un = _eval_u(st, nodes)
@@ -380,11 +392,41 @@ def _cumulative_phases(st, a, l, lam_grid, u_grid=None, node_interp=False,
     seg_p = jnp.sum(dph_m * w, axis=-1) * dseg
     seg_a = jnp.sum(daff_m * w, axis=-1) * dseg
 
-    # radial parts, lam-space version
-    dt_r, dph_r, daff_r = _phase_integrands_radial(a, l_, un)
-    lam_t = jnp.sum(dt_r * w, axis=-1) * dseg
-    lam_p = jnp.sum(dph_r * w, axis=-1) * dseg
-    lam_a = jnp.sum(daff_r * w, axis=-1) * dseg
+    # radial parts, lam-space version.  Needed ONLY on segments
+    # adjacent to the radial turning point (the near_turn selection
+    # below) — and on the UNIFORM grids of trace() those segments live
+    # at STATIC indices: a turning ray's lam grid spans
+    # [lam_start, 2*lam_rturn - lam_start], putting the turn exactly at
+    # the midpoint, and a grazing plunge's turn sits just beyond the
+    # last segment.  So when node_interp=True (trace's dense uniform
+    # grid) the lam-space quadrature is evaluated on a static window of
+    # segments around the midpoint + the trailing edge instead of on
+    # every segment — the round-4 verdict's "dual evaluation" lever:
+    # previously BOTH integrals were computed for all nseg segments and
+    # one was discarded.  Sparse callers (camera_delay, trace_polar)
+    # keep the full dual evaluation.
+    nseg = dseg.shape[-1]
+    _W = 4
+    windowed = node_interp and nseg >= 4 * _W and _PHASE_WINDOW
+    if windowed:
+        import numpy as _onp
+        mid = nseg // 2
+        widx = _onp.unique(_onp.clip(_onp.concatenate([
+            _onp.arange(0, _W), _onp.arange(mid - _W, mid + _W),
+            _onp.arange(nseg - _W, nseg)]), 0, nseg - 1))
+        un_w = _hermite_nodes_ep(
+            u_grid[..., widx], u_grid[..., widx + 1], du_g[..., widx],
+            du_g[..., widx + 1], dseg[..., widx], x)
+        dt_r, dph_r, daff_r = _phase_integrands_radial(a, l_, un_w)
+        dsw = dseg[..., widx]
+        lam_t = jnp.sum(dt_r * w, axis=-1) * dsw
+        lam_p = jnp.sum(dph_r * w, axis=-1) * dsw
+        lam_a = jnp.sum(daff_r * w, axis=-1) * dsw
+    else:
+        dt_r, dph_r, daff_r = _phase_integrands_radial(a, l_, un)
+        lam_t = jnp.sum(dt_r * w, axis=-1) * dseg
+        lam_p = jnp.sum(dph_r * w, axis=-1) * dseg
+        lam_a = jnp.sum(daff_r * w, axis=-1) * dseg
 
     # radial parts, r-space version.  The integrand f(r) = T(r)/(r^2
     # sqrt(U)) tends to a constant f_inf at large r with a 1/r tail, so
@@ -436,9 +478,18 @@ def _cumulative_phases(st, a, l, lam_grid, u_grid=None, node_interp=False,
     lt = _bc(st.lam_rturn, a_.ndim)
     pad = dseg
     near_turn = (b_ > lt - pad) & (a_ < lt + pad)
-    seg_t = seg_t + jnp.where(near_turn, lam_t, r_t)
-    seg_p = seg_p + jnp.where(near_turn, lam_p, r_p)
-    seg_a = seg_a + jnp.where(near_turn, lam_a, r_a)
+    if windowed:
+        nw = near_turn[..., widx]
+        seg_t = seg_t + r_t.at[..., widx].set(
+            jnp.where(nw, lam_t, r_t[..., widx]))
+        seg_p = seg_p + r_p.at[..., widx].set(
+            jnp.where(nw, lam_p, r_p[..., widx]))
+        seg_a = seg_a + r_a.at[..., widx].set(
+            jnp.where(nw, lam_a, r_a[..., widx]))
+    else:
+        seg_t = seg_t + jnp.where(near_turn, lam_t, r_t)
+        seg_p = seg_p + jnp.where(near_turn, lam_p, r_p)
+        seg_a = seg_a + jnp.where(near_turn, lam_a, r_a)
 
     # accumulate in f64 regardless of working precision: the cumulative
     # phases reach 1e2-1e4 while per-cell DIFFERENCES downstream (dlam

@@ -179,6 +179,47 @@ def main():
             "ray_points_per_s": round(nb * ck * args.npts / dt, 0)}
     rec["chunk_sweep_pipelined"] = sweep
 
+    # --- scale invariance: the SAME HARM config at the flagship camera
+    # size (100^2, unchunked, pipelined frames like bench.py) — if the
+    # per-ray rate matches the 1024^2 chunked rate, the "at-scale gap"
+    # is not a property of scale at all but of the config's intrinsic
+    # per-ray cost (HARM sampler + thermal POLSYNCHTH vs the flagship's
+    # FFJET + table POLSYNCHPL) ---
+    from grtrans_tpu.config import GrtransConfig  # noqa: F811
+    cfg100 = dataclasses.replace(make_cfg(None), nn=(100, 100, args.npts))
+    t0 = time.time()
+    grtrans_run(cfg100, model=model)
+    tc100 = time.time() - t0
+    nrep = 4
+    t0 = time.time()
+    outs2 = [grtrans_run(cfg100, model=model, device_output=True)[0]
+             for _ in range(nrep)]
+    for o in outs2:
+        for x in o:
+            np.asarray(x)
+    dt100 = (time.time() - t0) / nrep
+    rec["harm_100sq_pipelined"] = {
+        "compile_s": round(tc100, 1),
+        "ms_per_frame": round(dt100 * 1e3, 1),
+        "ray_points_per_s": round(100 * 100 * args.npts / dt100, 0)}
+
+    # --- trace-only rate at the chunk size: how much of the per-ray
+    # cost is the geodesic stage (shared with the flagship) vs the
+    # HARM fluid+emissivity stages ---
+    trace_jit = ent[2]
+    g = trace_jit(cam.alpha[:chunk], cam.beta[:chunk], cam.l[:chunk],
+                  cam.q2[:chunk], cam.sm[:chunk], mu0, cam.u0)
+    np.asarray(g.x[:1, :1])            # compile + settle
+    t0 = time.time()
+    g = trace_jit(cam.alpha[chunk:2 * chunk], cam.beta[chunk:2 * chunk],
+                  cam.l[chunk:2 * chunk], cam.q2[chunk:2 * chunk],
+                  cam.sm[chunk:2 * chunk], mu0, cam.u0)
+    np.asarray(g.x[:1, :1])
+    dt_tr = time.time() - t0
+    rec["trace_only_chunk"] = {
+        "wall_s": round(dt_tr, 2),
+        "ray_points_per_s": round(chunk * args.npts / dt_tr, 0)}
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "artifacts", "AT_SCALE_PROFILE.json")
     with open(out, "w") as f:

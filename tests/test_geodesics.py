@@ -183,3 +183,33 @@ def test_hermite_node_interp_vs_dense():
     # sample positions themselves are identical by construction
     np.testing.assert_allclose(np.asarray(g1.x[..., 1]),
                                np.asarray(g0.x[..., 1]), rtol=0, atol=0)
+
+
+def test_phase_window_matches_full_dual_eval():
+    """The static-window lam-space radial quadrature (round-5: the
+    lam-space GL is only evaluated on the segments that can ever be
+    near_turn — grid midpoint, trailing edge) must reproduce the full
+    dual evaluation EXACTLY, f64 and mixed, turning and plunging rays."""
+    from grtrans_tpu.geodesics import camera as cam_mod
+    for (a, mu0, uout, npts, prec, coarse) in [
+            (0.998, 0.906, 0.01, 400, "f64", 1),
+            (0.9, 0.5, None, 64, "f64", 1),
+            (0.998, 0.906, 0.01, 400, "mixed", 4),
+            (0.9375, 0.5, 0.04, 47, "f64", 1)]:
+        cam = cam_mod.make_camera(a, mu0, -15.0, 15.0, -15.0, 15.0, 8, 8)
+        kw = dict(prec=prec, coarse=coarse)
+        if uout is not None:
+            kw["uout"] = uout
+        geokerr._PHASE_WINDOW = True
+        g1 = geokerr.trace(a, mu0, cam.alpha, cam.beta, cam.l, cam.q2,
+                           cam.sm, cam.u0, npts, **kw)
+        geokerr._PHASE_WINDOW = False
+        try:
+            g0 = geokerr.trace(a, mu0, cam.alpha, cam.beta, cam.l,
+                               cam.q2, cam.sm, cam.u0, npts, **kw)
+        finally:
+            geokerr._PHASE_WINDOW = True
+        for f in ("x", "k", "lam"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(g1, f)), np.asarray(getattr(g0, f)),
+                err_msg=f"{f} a={a} prec={prec}")
