@@ -23,6 +23,7 @@ Everything is pure jnp with static shapes: (npix,) constants broadcast
 against (npix, npts) sample grids; jit/vmap/shard_map/grad all apply.
 """
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -35,7 +36,11 @@ from grtrans_tpu.ops.quadrature import gl_nodes
 from grtrans_tpu.geometry import kerr
 
 NQ_LAM = 48     # nodes for the one-off lam(u) integrals
-NQ_SEG = 8      # nodes per segment for cumulative t/phi/affine integrals
+# nodes per segment for cumulative t/phi/affine integrals.  Env override
+# exists for honest A/B runs in subprocesses: module-level monkeypatching
+# does NOT invalidate trace()'s jit cache (r5 lesson — two r4 "measured
+# rejections" were cache-hit no-ops).
+NQ_SEG = int(os.environ.get("GRTRANS_NQ_SEG", "8"))
 HOR_EPS = 1e-6  # stop this far (in u) inside of the horizon u_+
 _TINY_U = 1e-37  # absolute backstop under the relative U floor
 
@@ -378,7 +383,9 @@ def _cumulative_phases(st, a, l, lam_grid, u_grid=None, node_interp=False,
                 + _bc(cM[2], u_grid.ndim)) * mu_grid ** 2)
               + _bc(cM[0], u_grid.ndim))
         dmu_g = smu_g * jnp.sqrt(jnp.maximum(Mv, 0.0))
-        un = None          # radial lam-space nodes built per-window below
+        # radial lam-space nodes: built per-window below when the static
+        # window applies, else Hermite-filled over every segment
+        un = None
         mun = jnp.clip(_hermite_nodes(mu_grid, dmu_g, dseg, x), -1.0, 1.0)
     else:
         un = _eval_u(st, nodes)
@@ -423,6 +430,8 @@ def _cumulative_phases(st, a, l, lam_grid, u_grid=None, node_interp=False,
         lam_p = jnp.sum(dph_r * w, axis=-1) * dsw
         lam_a = jnp.sum(daff_r * w, axis=-1) * dsw
     else:
+        if un is None:     # node_interp grid too short for the window
+            un = _hermite_nodes(u_grid, du_g, dseg, x)
         dt_r, dph_r, daff_r = _phase_integrands_radial(a, l_, un)
         lam_t = jnp.sum(dt_r * w, axis=-1) * dseg
         lam_p = jnp.sum(dph_r * w, axis=-1) * dseg

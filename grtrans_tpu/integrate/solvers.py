@@ -703,11 +703,17 @@ def formal_solve(lam, j, K, mask=None, max_tau=MAX_TAU, I0=None, substeps=1,
         ps = _cell_emission(Os, asub, rsub, jedge[..., :-1],
                             jedge[..., 1:], dfull)
         # compose substeps within each cell (far substep applied first);
-        # scan over the trailing substep axis
+        # scan over the trailing substep axis.  Combine must be
+        # (earlier g, later f) -> f o g exactly as in _scan_to_observer
+        # — plain _compose applies the far substeps LAST (r5 regression
+        # found by TestLsodaAdaptive: undetectable on constant/
+        # symmetric in-cell coefficients, but the substep ladder then
+        # converges to the solution of the WITHIN-CELL-MIRRORED
+        # coefficient profile, 2.2e-3 off on a 32-cell Faraday test)
         Osr = jnp.flip(Os, axis=-1)
         psr = jnp.flip(ps, axis=-1)
-        A, b = jax.lax.associative_scan(_compose, (Osr, psr),
-                                        axis=Os.ndim - 1)
+        A, b = jax.lax.associative_scan(lambda g, f: _compose(f, g),
+                                        (Osr, psr), axis=Os.ndim - 1)
         O = A[..., -1]
         p = b[..., -1]
     O, p = _mask_cells(O, p, cell_ok)
@@ -1049,13 +1055,63 @@ def integrate(lam, j, K, method="formal", mask=None, max_tau=MAX_TAU,
         # constant coefficients, so substepping only refines the
         # within-cell coefficient variation — measured on the FFJET
         # golden, substeps=4 changes the image by <1e-5 while costing
-        # 6x; keep substeps=2 as the distinct 'lsoda' refinement tier
+        # 6x; keep substeps=2 as the distinct 'lsoda' refinement tier.
+        # For the reference's atol/rtol error-control semantics use
+        # lsoda_solve (adaptive substeps + Richardson error estimate).
         return formal_solve(lam, j, K, mask, max_tau, I0, substeps=2)
     if method in ("lsodasph", 3):
         return sphstokes_solve(lam, j, K, mask, max_tau)
     if method == "quadrature":
         return quadrature_solve(lam, j, K, mask, max_tau)
     raise ValueError(f"unknown method {method}")
+
+
+def lsoda_solve(lam, j, K, mask=None, max_tau=MAX_TAU, I0=None,
+                atol=1e-8, rtol=1e-6, max_substeps=32):
+    """'lsoda' path with the reference's error-control semantics.
+
+    The reference's iname='lsoda' runs adaptive LSODA with atol=1e-8 /
+    rtol=1e-6 controlling the LOCAL truncation error of each internal
+    step against atol + rtol*|I| (radtrans_integrate.f90:20,68-104).
+    Here the per-cell matricant is EXACT for its linearly-interpolated
+    coefficients, so the only discretization error is within-cell
+    coefficient variation — 2nd order in the substep width.  This
+    driver doubles the per-cell substep count s = 1, 2, 4, ...
+    max_substeps and Richardson-estimates the error of the finer
+    solution from consecutive pairs:
+
+        err(I_{2s}) ~= |I_s - I_{2s}| / (2^2 - 1)
+
+    stopping when  max over (pixel, sample, Stokes) of
+    err / (atol + rtol*|I|)  <= 1 — the same weighted-norm acceptance
+    test LSODA applies, but for the GLOBAL profile (stricter than
+    LSODA's per-step control).  Each distinct substep count is its own
+    cached XLA program; a production scan re-runs only the compiled
+    winner.
+
+    Returns (profile, info): profile is formal_solve's (npix, npts, 4)
+    Stokes profile at the accepted substep count; info is a dict with
+    'substeps', 'err_est' (abs, max-norm per Stokes component, shape
+    (4,)), and 'err_scaled' (the accepted weighted-norm max, <= 1
+    unless the max_substeps cap was hit — mirroring LSODA's istate=-2
+    "too much accuracy requested" diagnostic, reported not raised)."""
+    import numpy as _np
+    prev = None
+    s = 1
+    while True:
+        cur = formal_solve(lam, j, K, mask, max_tau, I0, substeps=s)
+        if prev is not None:
+            diff = _np.abs(_np.asarray(cur) - _np.asarray(prev)) / 3.0
+            w = atol + rtol * _np.abs(_np.asarray(cur))
+            err_scaled = float((diff / w).max())
+            if err_scaled <= 1.0 or s >= max_substeps:
+                info = {"substeps": s,
+                        "err_est": diff.reshape(-1, 4).max(axis=0),
+                        "err_scaled": err_scaled,
+                        "converged": err_scaled <= 1.0}
+                return cur, info
+        prev = cur
+        s *= 2
 
 
 @jax.jit

@@ -1,6 +1,6 @@
 """Per-stage TPU timing of the flagship FFJET render.
 
-Two views, both written to artifacts/PROFILE_r04.json:
+Two views, both written to artifacts/PROFILE_r05.json:
 
   * `stages_ms` / `stages_ms_mixed` — STANDALONE stage timings (each
     stage jitted alone; includes HBM materialization of its inputs and
@@ -177,7 +177,7 @@ def main():
         result["mfu_mixed_vs_bf16_peak"] = (
             result["flops_per_frame_mixed"] / dt / result["peak_flops"])
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "artifacts", "PROFILE_r04.json")
+        os.path.abspath(__file__))), "artifacts", "PROFILE_r05.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(result, f, indent=1)

@@ -52,7 +52,7 @@ def test_mixed_trace_matches_f64():
                   / x64[..., 1])[v].max() < 1e-6
     assert np.abs(x32[..., 2] - x64[..., 2])[v].max() < 1e-5
     dphi = np.abs(x32[..., 3] - x64[..., 3])[v]
-    assert np.percentile(dphi, 99.9) < 1e-2
+    assert np.percentile(dphi, 99.9) < 5e-3   # measured r5: 2.8e-3
     # k: f32 algebra with f64-evaluated potentials and a factored
     # Delta — bulk at f32 roundoff; the only large deviations are the
     # 1/Delta-divergent k_t/k_phi on horizon-adjacent samples, where
@@ -60,10 +60,14 @@ def test_mixed_trace_matches_f64():
     # are infinitely redshifted -> zero emission; whole-image effect
     # pinned at ~1e-4 by the render-level tests and the bench
     # cross-check)
+    # Bars are the MEASURED distribution on this config (r5: p99.9
+    # 6.4e-7, max 8.2e-3) with a ~3-8x margin — prescriptive enough to
+    # catch a 1%-level regression in any single transported quantity
+    # (round-4 verdict: max 0.05 was descriptive, not prescriptive)
     kmag = np.linalg.norm(np.asarray(g64.k), axis=-1, keepdims=True)
     kd = np.abs(np.asarray(g32.k) - np.asarray(g64.k)) / kmag
-    assert np.percentile(kd[v], 99.9) < 1e-4
-    assert kd[v].max() < 0.05
+    assert np.percentile(kd[v], 99.9) < 5e-6
+    assert kd[v].max() < 0.025
     assert np.abs(np.asarray(g32.lam - g64.lam))[v].max() \
         < 1e-5 * np.abs(np.asarray(g64.lam)).max()
     assert (np.asarray(g32.tpm) == np.asarray(g64.tpm))[v].all()
