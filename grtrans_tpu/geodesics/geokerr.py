@@ -504,11 +504,38 @@ def _cumulative_phases(st, a, l, lam_grid, u_grid=None, node_interp=False,
     # phases reach 1e2-1e4 while per-cell DIFFERENCES downstream (dlam
     # in the Stokes solver, Faraday phase) need absolute accuracy — f32
     # increments + f64 running sums keep the error at the per-segment
-    # f32 level instead of growing with trace length
+    # f32 level instead of growing with trace length.
+    #
+    # The f64 running sums are TWO-LEVEL: working-dtype cumsum within
+    # 16-segment blocks + an f64 cumsum over the (nseg/16) block sums,
+    # recombined as f64.  A full-length f64 cumsum on the emulated-f64
+    # v5e costs ~13 ms per (1e4, 400) array (3 arrays = ~40 ms, the
+    # dominant cost of the whole geodesic stage, TRACE_ATTRIB.json);
+    # the within-block partials span <= 16 segments so their f32
+    # roundoff stays at the per-segment level the comment above already
+    # accepts, and the block offsets are exact f64.  The three phases
+    # ride ONE stacked cumsum.
     z = jnp.zeros_like(lam_grid[..., :1], dtype=jnp.float64)
-    cum = lambda s: jnp.concatenate(
-        [z, jnp.cumsum(s.astype(jnp.float64), axis=-1)], axis=-1)
-    return cum(seg_t), cum(seg_p), cum(seg_a)
+    s3 = jnp.stack([seg_t, seg_p, seg_a])          # (3, ..., nseg)
+    nseg3 = s3.shape[-1]
+    BLK = 16
+    if nseg3 >= 2 * BLK:
+        pad = (-nseg3) % BLK
+        if pad:
+            s3 = jnp.concatenate(
+                [s3, jnp.zeros(s3.shape[:-1] + (pad,), s3.dtype)], -1)
+        nb = s3.shape[-1] // BLK
+        sb = s3.reshape(s3.shape[:-1] + (nb, BLK))
+        within = jnp.cumsum(sb, axis=-1)           # working dtype, 16-wide
+        bsum = within[..., -1].astype(jnp.float64)
+        off = jnp.cumsum(bsum, axis=-1) - bsum     # exclusive, f64, short
+        cum3 = (off[..., None] + within.astype(jnp.float64)
+                ).reshape(s3.shape[:-1] + (nb * BLK,))[..., :nseg3]
+    else:
+        cum3 = jnp.cumsum(s3.astype(jnp.float64), axis=-1)
+    zb = jnp.broadcast_to(z, (3,) + z.shape)
+    cum3 = jnp.concatenate([zb, cum3], axis=-1)
+    return cum3[0], cum3[1], cum3[2]
 
 
 def _signs_and_counts(st, lam):

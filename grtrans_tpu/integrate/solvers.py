@@ -40,6 +40,7 @@ propagates from index npts-1 toward 0.  K columns are
 the identity map.
 """
 
+import os
 from functools import partial
 
 import numpy as np
@@ -554,47 +555,47 @@ def _seq_march(ac, rc, jc, dlam, dlam64, cell_ok, I0c, profile=True):
 
     emit_profile = profile
 
-    if (not emit_profile and ncell >= 64
-            and ac[0].dtype == jnp.float64):
-        # BLOCKED march (observer-intensity-only path, f64 ONLY): build
-        # every cell's affine map (O_i, p_i) in ONE fused parallel
-        # pass, pre-compose groups of BLK cells in parallel (affine
-        # composition is associative — the grouping is mathematically
-        # exact), then scan over ncell/BLK blocks.  Each scan step
-        # carries a fixed cost on top of its ~10 us of VPU work; 4x
-        # blocking amortizes it.  Measured on v5e: f64 frame 733 ->
-        # 604 ms (the emulated-f64 step bodies are expensive enough
-        # that fewer steps win), but MIXED regressed 172 -> 186 ms —
-        # the one-pass (4, 4, npix, ncell) HBM temporary costs more
-        # than the f32 steps save — hence the dtype gate.
-        BLK = 4
-        O = _calc_O(tuple(ac), tuple(rc), dlam,
-                    dx64=dlam64 if use64 else None)  # (4,4,npix,ncell)
-        p = _cell_emission(O, tuple(ac), tuple(rc), jc[..., :-1],
-                           jc[..., 1:], dlam)
-        O, p = _mask_cells(O, p, cell_ok)
+    if not emit_profile and ncell >= 64:
+        # STREAMING blocked march (observer-intensity-only path, the
+        # extra=0 production driver): scan over ncell/BLK blocks; each
+        # step constructs its BLK cells' affine maps INSIDE the step
+        # (VMEM-resident) and pre-composes them before touching I —
+        # affine composition is associative, so the grouping is exact.
+        # vs the per-cell march: BLKx fewer scan-step fixed costs for
+        # the SAME streamed coefficient traffic; vs the r4 one-pass
+        # blocked march (f64-gated): no (4, 4, npix, ncell) HBM
+        # temporary — that temporary is what regressed the mixed path
+        # (172 -> 186 ms) and capped the f64 win, so this variant runs
+        # for BOTH dtypes.
+        BLK = int(os.environ.get("GRTRANS_MARCH_BLK", "8"))
         pad = (-ncell) % BLK
-        if pad:
-            # identity cells pad the NEAR end — identity composes as a
-            # no-op at either end of the chain
-            eye = jnp.broadcast_to(_eye4(O).astype(O.dtype),
-                                   O.shape[:-1] + (pad,))
-            O = jnp.concatenate([eye, O], axis=-1)
-            p = jnp.concatenate([jnp.zeros_like(p[..., :pad]), p],
-                                axis=-1)
-        nb = O.shape[-1] // BLK
-        # far-first ordering, then group: block j holds cells
-        # [j*BLK, (j+1)*BLK) of the far-first sequence
-        Or = jnp.flip(O, axis=-1).reshape(O.shape[:-1] + (nb, BLK))
-        pr = jnp.flip(p, axis=-1).reshape(p.shape[:-1] + (nb, BLK))
-        Ob, pb = Or[..., 0], pr[..., 0]
-        for j in range(1, BLK):
-            Ob, pb = _compose((Or[..., j], pr[..., j]), (Ob, pb))
-        xs_b = (jnp.moveaxis(Ob, -1, 0), jnp.moveaxis(pb, -1, 0))
+        nb = (ncell + pad) // BLK
+
+        def prep_b(x):
+            # (..., ncell) -> (nb, ..., BLK) far-first; zero-pad the
+            # NEAR end (applied last; masked to identity by cell_ok)
+            y = jnp.flip(x, -1)
+            if pad:
+                y = jnp.concatenate(
+                    [y, jnp.zeros(y.shape[:-1] + (pad,), y.dtype)], -1)
+            y = y.reshape(y.shape[:-1] + (nb, BLK))
+            return jnp.moveaxis(y, -2, 0)
+
+        xs_b = (tuple(prep_b(c) for c in ac),
+                tuple(prep_b(c) for c in rc),
+                prep_b(jc[..., :-1]), prep_b(jc[..., 1:]), prep_b(dlam),
+                prep_b(dlam64) if use64 else prep_b(dlam),
+                prep_b(cell_ok))
 
         def block_step(I, inp):
-            Obj, pbj = inp
-            return _mm(Obj, I) + pbj, None
+            acc, rcc, jn, jf, d, d64, ok = inp   # batch dims (npix, BLK)
+            O = _calc_O(acc, rcc, d, dx64=d64 if use64 else None)
+            p = _cell_emission(O, acc, rcc, jn, jf, d)
+            O, p = _mask_cells(O, p, ok)
+            Ob, pb = O[..., 0], p[..., 0]
+            for jj in range(1, BLK):            # farther j applied first
+                Ob, pb = _compose((O[..., jj], p[..., jj]), (Ob, pb))
+            return _mm(Ob, I) + pb, None
 
         Iend, _ = jax.lax.scan(block_step, I0c, xs_b)
         return jnp.transpose(Iend[:, 0], (1, 0))     # (npix, 4)
