@@ -12,6 +12,7 @@ parallel module.
 from functools import partial
 from typing import Optional
 
+import os
 import jax
 import jax.numpy as jnp
 
@@ -256,12 +257,21 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
                    ncgsnth=ei.ncgsnth, s2xi=s2xi, c2xi=c2xi, ang=ang,
                    g=g, cosne=cosne, ok=ok)
 
+    # profiling cut points (scripts/render_attrib.py): return right
+    # after a stage so the fused program up to there can be timed;
+    # OFF in production (env unset) — costs nothing when disabled
+    _upto = os.environ.get("GRTRANS_RENDER_UPTO")
+    if _upto == "tetrad":
+        return (s2xi + c2xi + ang + g + cosne)[None, ..., None]
+
     out = []
     for fghz in freqs:
         nu = fghz / g_tr
         if mixedp:
             nu = nu.astype(jnp.float32)
         e = calc_emissivity(ename, nu, ei, ang, cosne, sp, gmin=gmin_eff)
+        if _upto == "coeffs":
+            return e[None]
         if sp.coefindx is not None:
             # zero de-selected absorption/rotation coefficients
             # (emis.f90:557-558 usecoefs; epcoefindx in pgrtrans.f90:19)
@@ -291,6 +301,8 @@ def render_rays(geo, fv, ei, ename, freqs, mu0, alpha, beta, a, mbh,
             # cgs per unit geometric path (grtrans_driver.f90:217,228)
             j = j * lbh
             K = K * lbh
+            if _upto == "presolve":
+                return jnp.concatenate([j, K], -1)[None]
             if extra or debug:
                 prof = solvers.integrate(lam_tr, j, K, method=iname,
                                          mask=ok)

@@ -97,13 +97,22 @@ class HotSpot:
         z = jnp.zeros_like(r)
         dx = jnp.stack([z, xs_r - r, xs_th - th, 0.0 - dphi], axis=-1)
         dnorm = fvec.dot(gs, dx, dx) + fvec.dot(gs, dx, uspot) ** 2
-        n = self.n0spot * jnp.exp(-dnorm / 2.0 / self.rspot ** 2)
+        # double-where on the far cut: invalid trace samples sit at
+        # r ~ 1e6, so dnorm ~ 1e13 underflows exp to EXACTLY 0 and
+        # sqrt'(0) = inf — the plain where masks the forward but its
+        # VJP multiplies 0-cotangent x inf-partial = NaN, poisoning
+        # every parameter gradient (r5: HOTSPOT inverse rendering froze
+        # with all-NaN grads).  Sanitized arg keeps both exp and sqrt
+        # on smooth inputs in the discarded branch.
+        arg = dnorm / 2.0 / self.rspot ** 2
+        far = arg >= 8.0
+        arg_s = jnp.where(far, 0.0, arg)
+        n = jnp.where(far, 0.0, self.n0spot * jnp.exp(-arg_s))
         u = _keplerian_interior_u(r, th, a, omega, g)
-        bmag = jnp.sqrt(0.1 * 8.0 * jnp.pi * n * 100.0 * 1.67e-24 / 2.0
+        n_b = jnp.where(far, self.n0spot, n)   # positive sqrt input
+        bmag = jnp.sqrt(0.1 * 8.0 * jnp.pi * n_b * 100.0 * 1.67e-24 / 2.0
                         * 9e20 / r)
-        far = dnorm / 2.0 / self.rspot ** 2 >= 8.0
         bmag = jnp.where(far, 1.0, bmag)
-        n = jnp.where(far, 0.0, n)
         if abs(self.bl06) == 1:
             b = _toroidal_spot_b(g, u, bmag)
         elif self.bl06 == 0:

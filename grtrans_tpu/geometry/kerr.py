@@ -33,13 +33,30 @@ def delta(r, a):
     return r * r - 2.0 * r + a * a
 
 
+def _delta(r, a):
+    """Delta = r^2 - 2r + a^2 in FACTORED form (r - r+)(r - r-): the
+    expanded quadratic cancels catastrophically near the horizon in f32
+    (the subtraction of nearby f32 values in the factored form is exact
+    — Sterbenz), and is equally accurate in f64."""
+    h = jnp.sqrt(jnp.maximum(1.0 - jnp.asarray(a, jnp.float64) ** 2, 0.0))
+    rdt = jnp.result_type(r)
+    rp = jnp.asarray(1.0 + h, rdt)
+    rm = jnp.asarray(1.0 - h, rdt)
+    return (r - rp) * (r - rm)
+
+
 def metric_cov(r, th, a):
-    """Covariant BL metric, packed (...,10).  kerr.f90:381-400."""
-    r, th = jnp.broadcast_arrays(jnp.asarray(r, jnp.float64),
-                                 jnp.asarray(th, jnp.float64))
+    """Covariant BL metric, packed (...,10).  kerr.f90:381-400.
+
+    Dtype-FOLLOWING (r5): runs in result_type(r, th) — the old forced
+    f64 cast silently ran the whole tetrad + analytic-fluid stages in
+    emulated f64 under prec='mixed' (~45 ms/frame of the flagship
+    budget); mixed callers now get f32 metrics with the near-horizon
+    Delta cancellation handled by the factored form."""
+    r, th = jnp.broadcast_arrays(jnp.asarray(r), jnp.asarray(th))
     cth = jnp.cos(th)
     sth = jnp.sin(th)
-    d = r * r - 2.0 * r + a * a
+    d = _delta(r, a)
     rho2 = r * r + a * a * cth * cth
     sigma = (r * r + a * a) ** 2 - a * a * d * sth * sth
     z = jnp.zeros_like(r)
@@ -55,12 +72,12 @@ def metric_cov(r, th, a):
 
 
 def metric_con(r, th, a):
-    """Contravariant BL metric, packed (...,10).  kerr.f90:337-358."""
-    r, th = jnp.broadcast_arrays(jnp.asarray(r, jnp.float64),
-                                 jnp.asarray(th, jnp.float64))
+    """Contravariant BL metric, packed (...,10).  kerr.f90:337-358.
+    Dtype-following like metric_cov."""
+    r, th = jnp.broadcast_arrays(jnp.asarray(r), jnp.asarray(th))
     cth = jnp.cos(th)
     sth = jnp.sin(th)
-    d = r * r - 2.0 * r + a * a
+    d = _delta(r, a)
     rho2 = r * r + a * a * cth * cth
     z = jnp.zeros_like(r)
     g = [-((r * r + a * a) ** 2 - a * a * d * sth * sth) / rho2 / d,  # tt

@@ -51,6 +51,7 @@ class InverseProblem:
     nn: tuple = (8, 8, 32)
     gridvals: tuple = (-12.0, 12.0, -12.0, 12.0)
     nvals: int = 4
+    prec: str = "f64"
     fixed: Dict[str, float] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -74,18 +75,21 @@ class InverseProblem:
         l = -self.alpha * jnp.sqrt(1.0 - mu0 * mu0)
         q2 = self.beta ** 2 + (self.alpha ** 2 - a * a) * mu0 * mu0
         geo = geokerr.trace(a, mu0, self.alpha, self.beta, l, q2,
-                            self.sm, self.u0, self.npts)
+                            self.sm, self.u0, self.npts,
+                            prec=self.prec,
+                            coarse=4 if self.prec == "mixed" else 1)
         fv = model.vals(geo.x, geo.k, a)
         sp = SourceParams(mbh=self.mbh)
         ei = model.convert(fv, sp)
         iv = driver.render_rays(geo, fv, ei, self.ename, [self.freq],
                                 mu0, self.alpha, self.beta, a, self.mbh,
-                                sp, iname=self.iname, nvals=self.nvals)
+                                sp, iname=self.iname, nvals=self.nvals,
+                                prec=self.prec)
         return iv[0]
 
 
 # parameter transforms: optimizer works unconstrained
-_POS = ("n0", "t0", "nfac")      # positive scale parameters -> log
+_POS = ("n0", "t0", "nfac", "n0spot", "r0spot")  # positive scales -> log
 
 
 def _to_opt(params):
