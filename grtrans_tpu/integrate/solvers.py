@@ -597,7 +597,12 @@ def _seq_march(ac, rc, jc, dlam, dlam64, cell_ok, I0c, profile=True):
                 Ob, pb = _compose((O[..., jj], p[..., jj]), (Ob, pb))
             return _mm(Ob, I) + pb, None
 
-        Iend, _ = jax.lax.scan(block_step, I0c, xs_b)
+        # remat the step for reverse-mode: without it the scan saves
+        # every block's matricant-construction residuals ((4,4,npix,
+        # BLK) x nb temporaries - HBM OOM differentiating the flagship,
+        # FWDBWD_BENCH); recomputing a block's O from its streamed
+        # coefficient slice is a few fused VPU ops
+        Iend, _ = jax.lax.scan(jax.checkpoint(block_step), I0c, xs_b)
         return jnp.transpose(Iend[:, 0], (1, 0))     # (npix, 4)
 
     def cell(I, inp):
@@ -612,8 +617,9 @@ def _seq_march(ac, rc, jc, dlam, dlam64, cell_ok, I0c, profile=True):
     # backend), unroll=8 produced a WRONG image on the TPU mixed path
     # (flagship core dimmed 0.54x; CPU bit-identical, DK roots ruled
     # out) for a ~1% speed change.  The per-step cost is already
-    # amortized by the fused cell construction.
-    Iend, ys = jax.lax.scan(cell, I0c, xs)
+    # amortized by the fused cell construction.  checkpoint: see the
+    # blocked march above (reverse-mode residual memory).
+    Iend, ys = jax.lax.scan(jax.checkpoint(cell), I0c, xs)
     if not emit_profile:
         # observer intensity only (the default driver path, extra=0):
         # skip materializing the 3 x (npts, 4, npix) profile buffers

@@ -65,26 +65,43 @@ class InverseProblem:
         self.u0 = cam.u0
         self.sm = cam.sm
 
-    def render(self, params: Dict[str, jnp.ndarray]):
-        """Differentiable forward model: params -> (npix, nvals) image."""
+    def render(self, params: Dict[str, jnp.ndarray], pix=None):
+        """Differentiable forward model: params -> (npix, nvals) image.
+
+        pix: optional (lo, hi) static pixel slice — gradient
+        accumulation over camera chunks (rays are independent, so
+        parameter gradients simply add across chunks; this is how a
+        flagship-sized fwd+bwd fits HBM, scripts/fwdbwd_bench.py).
+
+        Stages are wrapped in jax.checkpoint: reverse-mode otherwise
+        stores every (npix, npts) intermediate of all stages at once
+        (measured 47 GB at 100x100x400 — OOM on one chip); with
+        per-stage remat the backward holds one stage's residuals at a
+        time and recomputes the forward, a ~1.3x FLOP cost on a
+        pipeline this gather/elementwise-bound."""
         p = dict(self.fixed)
         p.update(params)
         a = jnp.clip(jnp.asarray(p.pop("spin")), -0.998, 0.998)
         mu0 = jnp.clip(jnp.asarray(p.pop("mu0")), 0.01, 0.99)
         model = load_fluid_model(self.fname, **p)
-        l = -self.alpha * jnp.sqrt(1.0 - mu0 * mu0)
-        q2 = self.beta ** 2 + (self.alpha ** 2 - a * a) * mu0 * mu0
-        geo = geokerr.trace(a, mu0, self.alpha, self.beta, l, q2,
-                            self.sm, self.u0, self.npts,
-                            prec=self.prec,
-                            coarse=4 if self.prec == "mixed" else 1)
-        fv = model.vals(geo.x, geo.k, a)
+        alpha, beta, sm = self.alpha, self.beta, self.sm
+        if pix is not None:
+            lo, hi = pix
+            alpha, beta, sm = alpha[lo:hi], beta[lo:hi], sm[lo:hi]
+        l = -alpha * jnp.sqrt(1.0 - mu0 * mu0)
+        q2 = beta ** 2 + (alpha ** 2 - a * a) * mu0 * mu0
+        ck = jax.checkpoint
+        geo = ck(lambda aa, m0, ll, qq: geokerr.trace(
+            aa, m0, alpha, beta, ll, qq, sm, self.u0, self.npts,
+            prec=self.prec,
+            coarse=4 if self.prec == "mixed" else 1))(a, mu0, l, q2)
+        fv = ck(lambda x, k, aa: model.vals(x, k, aa))(geo.x, geo.k, a)
         sp = SourceParams(mbh=self.mbh)
         ei = model.convert(fv, sp)
-        iv = driver.render_rays(geo, fv, ei, self.ename, [self.freq],
-                                mu0, self.alpha, self.beta, a, self.mbh,
-                                sp, iname=self.iname, nvals=self.nvals,
-                                prec=self.prec)
+        iv = ck(lambda geo_, fv_, ei_, m0, aa: driver.render_rays(
+            geo_, fv_, ei_, self.ename, [self.freq], m0, alpha, beta,
+            aa, self.mbh, sp, iname=self.iname, nvals=self.nvals,
+            prec=self.prec))(geo, fv, ei, mu0, a)
         return iv[0]
 
 
