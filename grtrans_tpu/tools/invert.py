@@ -64,6 +64,7 @@ class InverseProblem:
         self.beta = cam.beta
         self.u0 = cam.u0
         self.sm = cam.sm
+        self._static_model = None  # cache for geometry-only fits
 
     def render(self, params: Dict[str, jnp.ndarray], pix=None):
         """Differentiable forward model: params -> (npix, nvals) image.
@@ -83,7 +84,24 @@ class InverseProblem:
         p.update(params)
         a = jnp.clip(jnp.asarray(p.pop("spin")), -0.998, 0.998)
         mu0 = jnp.clip(jnp.asarray(p.pop("mu0")), 0.01, 0.99)
-        model = load_fluid_model(self.fname, **p)
+        if set(params) <= {"spin", "mu0"}:
+            # geometry-only fit: the fluid model does not depend on any
+            # traced parameter, so build it ONCE eagerly and reuse.
+            # This is required for GRMHD snapshot models, whose
+            # load-time transforms (file parsing, numpy coordinate
+            # tables) are not traceable, and it keeps the dump arrays
+            # as closure constants instead of re-staging the load chain
+            # into every jit trace.
+            if self._static_model is None:
+                # ensure_compile_time_eval: the first render call is
+                # usually already under a jit trace; the load must run
+                # eagerly regardless.
+                with jax.ensure_compile_time_eval():
+                    self._static_model = load_fluid_model(self.fname,
+                                                          **p)
+            model = self._static_model
+        else:
+            model = load_fluid_model(self.fname, **p)
         alpha, beta, sm = self.alpha, self.beta, self.sm
         if pix is not None:
             lo, hi = pix
